@@ -1,0 +1,169 @@
+"""URL construction, escaping, SURT canonicalization, zip pseudo-URLs.
+
+Reference semantics reproduced (behavior spec, not code):
+- path -> URL escaping: /root/reference/warcit/base.py:106-109
+  (``PrefixedFileInfo``): path separators normalized to '/', leading and
+  trailing '.'/'/' characters stripped, then each character in the RFC
+  2396 reserved set plus '#' and space percent-encoded as LOWERCASE hex.
+- zip pseudo-path parsing: /root/reference/warcit/base.py:63-79.
+
+SURT canonicalization is NEW (north rule): the URL-seen set keys on
+64-bit hashes of the SURT form.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import posixpath
+import struct
+import zipfile
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Characters escaped by the reference (base.py:107): RFC 2396 reserved
+# set plus '#' and ' '. Order matters only in that it is applied
+# sequentially to characters that never produce each other.
+ESCAPE_CHARS = "#;?:@&=+$, "
+_ESCAPE_MAP = {c: "%%%x" % ord(c) for c in ESCAPE_CHARS}
+
+
+def escape_path(path: str) -> str:
+    """Scalar version of the reference's path->URL escaping."""
+    url = path.replace(os.path.sep, "/").strip("./")
+    for ch, rep in _ESCAPE_MAP.items():
+        url = url.replace(ch, rep)
+    return url
+
+
+def escape_path_array(paths: pa.Array | pa.ChunkedArray, url_prefix: str = "") -> pa.Array:
+    """Vectorized path->URL escaping over an Arrow string column.
+
+    Applies the same replacement chain as :func:`escape_path` with
+    pyarrow compute kernels (no per-row Python).
+    """
+    arr = paths
+    if os.path.sep != "/":  # pragma: no cover - posix container
+        arr = pc.replace_substring(arr, os.path.sep, "/")
+    # strip('./') == remove any leading/trailing '.' and '/' chars
+    arr = pc.replace_substring_regex(arr, r"^[./]+", "")
+    arr = pc.replace_substring_regex(arr, r"[./]+$", "")
+    for ch, rep in _ESCAPE_MAP.items():
+        arr = pc.replace_substring(arr, ch, rep)
+    if url_prefix:
+        arr = pc.binary_join_element_wise(pa.scalar(url_prefix), arr, "")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr
+
+
+def zip_entry_url(internal_name: str, zip_prefix: str, url_prefix: str) -> str:
+    """Zip-entry URL (base.py:115-127): prefix stripped, NO percent escaping."""
+    name = internal_name
+    if zip_prefix and name.startswith(zip_prefix):
+        name = name[len(zip_prefix):]
+    return url_prefix + name.strip("./")
+
+
+def parse_zip_pseudo_path(filename: str) -> tuple[bool, str, str]:
+    """Walk a possibly-nonexistent path upward to find a real .zip ancestor.
+
+    Returns ``(is_zip, zipfile_path, zip_prefix)`` with the exact truth
+    table of the reference (base.py:63-79): a plain existing file ->
+    (False, path, ''); an existing dir -> (False, '', ''); a missing
+    path under a valid zip -> (True, zip_path, 'joined/inner/prefix');
+    otherwise (False, '', '').
+    """
+    zip_path: list[str] = []
+    while filename:
+        if os.path.isfile(filename):
+            if filename.endswith(".zip") and zipfile.is_zipfile(filename):
+                return True, filename, "/".join(zip_path)
+            return False, filename, ""
+        if os.path.isdir(filename):
+            return False, "", ""
+        zip_path.insert(0, os.path.basename(filename))
+        parent = os.path.dirname(filename)
+        if parent == filename:
+            break
+        filename = parent
+    return False, "", ""
+
+
+# ---------------------------------------------------------------------------
+# SURT canonicalization (new; public SURT spec shape: reversed host,
+# lowercased, default ports dropped). file:// and zip pseudo-URLs are
+# first-class frontier keys per the north rule.
+# ---------------------------------------------------------------------------
+
+_DEFAULT_PORTS = {"http": "80", "https": "443"}
+
+
+def surt(url: str) -> str:
+    """Canonical SURT form of a URL.
+
+    ``http://WWW.Example.com:80/a/b?x=1`` -> ``com,example,www)/a/b?x=1``.
+    ``file://`` and ``zip://archive!member`` pseudo-URLs canonicalize to
+    ``file:<path>`` / ``zip:<archive>!<member>`` (scheme-tagged, host-less).
+    """
+    if url.startswith("zip://"):
+        return "zip:" + url[6:]
+    if url.startswith("file://"):
+        return "file:" + url[7:]
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    if not parts.netloc:
+        return url
+    host = parts.hostname or ""
+    host = host.lower().rstrip(".")
+    port = ""
+    try:
+        p = parts.port
+        if p is not None and str(p) != _DEFAULT_PORTS.get(parts.scheme.lower(), ""):
+            port = ":%d" % p
+    except ValueError:
+        pass
+    rev = ",".join(reversed(host.split(".")))
+    path = parts.path or "/"
+    q = ("?" + parts.query) if parts.query else ""
+    return "%s%s)%s%s" % (rev, port, path, q)
+
+
+def surt_host(url: str) -> str:
+    """Politeness partition key: registered host for http(s), scheme tag
+    for pseudo-URLs (all file:// traffic shares one 'host', like a local
+    disk; each zip archive is its own host)."""
+    if url.startswith("zip://"):
+        return "zip:" + url[6:].split("!", 1)[0]
+    if url.startswith("file://"):
+        return "file:"
+    try:
+        h = urlsplit(url).hostname
+    except ValueError:
+        h = None
+    return (h or "").lower()
+
+
+def surt_hash64(s: str) -> int:
+    """Stable 64-bit hash of a SURT string (blake2b-8; content-stable
+    across processes, unlike Python's salted hash())."""
+    return struct.unpack("<Q", hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest())[0]
+
+
+def surt_hash64_batch(surts: list[str] | np.ndarray) -> np.ndarray:
+    """Vector of stable 64-bit hashes (uint64)."""
+    out = np.empty(len(surts), dtype=np.uint64)
+    for i, s in enumerate(surts):
+        out[i] = surt_hash64(s)
+    return out
+
+
+def url_dirname_index(url: str) -> str:
+    """Auto-index revisit target (warcit.py:543): everything up to and
+    including the final '/'."""
+    return url.rsplit("/", 1)[0] + "/"

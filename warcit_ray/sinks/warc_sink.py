@@ -1,0 +1,184 @@
+"""WARC/1.0 physical serialization.
+
+Implements the WARC 1.0 record grammar from the public ISO 28500 spec
+(the format warcio writes for the reference at warcit.py:409-422):
+``WARC/1.0`` version line, CRLF headers, blank line, payload block,
+two trailing CRLFs; when gzip is on, each record is its own gzip
+member (the standard .warc.gz framing).
+
+Two writers:
+- :func:`write_warc_file` — ONE output file, exclusive-create /
+  overwrite / append modes exactly like the reference ('xb'/'wb'/'ab',
+  warcit.py:143-148,409-419; EEXIST is an error in default mode).
+  Streams `iter_batches` in seq order, so the driver holds one batch.
+- :func:`write_warc_shards` — the scale path: one .warc.gz per block,
+  named by the block's minimum seq (zero-padded, so lexicographic
+  filename order == record order), plus a manifest for resume.
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import io
+import os
+
+import pyarrow as pa
+
+REVISIT_PROFILE = "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+
+
+def serialize_record(row: dict, gzip_member: bool = True) -> bytes:
+    """One WARC record -> bytes (optionally a standalone gzip member)."""
+    rtype = row["record_type"]
+    warc_type = "resource" if rtype not in (
+        "warcinfo", "revisit", "conversion", "metadata", "response", "request", "resource"
+    ) else rtype
+    headers: list[tuple[str, str]] = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", row["record_id"]),
+        ("WARC-Date", row["warc_date"]),
+    ]
+    if rtype == "warcinfo":
+        headers.append(("WARC-Filename", row["target_uri"]))
+    else:
+        headers.append(("WARC-Target-URI", row["target_uri"]))
+    if row.get("creation_date"):
+        headers.append(("WARC-Creation-Date", row["creation_date"]))
+    if row.get("source_uri"):
+        headers.append(("WARC-Source-URI", row["source_uri"]))
+    if rtype == "revisit":
+        headers.append(("WARC-Profile", REVISIT_PROFILE))
+        if row.get("refers_to_uri"):
+            headers.append(("WARC-Refers-To-Target-URI", row["refers_to_uri"]))
+        if row.get("refers_to_date"):
+            headers.append(("WARC-Refers-To-Date", row["refers_to_date"]))
+    else:
+        if row.get("refers_to_id"):
+            headers.append(("WARC-Refers-To", row["refers_to_id"]))
+        if row.get("refers_to_uri"):
+            headers.append(("WARC-Refers-To-Target-URI", row["refers_to_uri"]))
+        if row.get("refers_to_date"):
+            headers.append(("WARC-Refers-To-Target-Date", row["refers_to_date"]))
+    if row.get("json_metadata"):
+        headers.append(("WARC-JSON-Metadata", row["json_metadata"]))
+    payload = row.get("payload") or b""
+    if row.get("payload_digest"):
+        headers.append(("WARC-Payload-Digest", row["payload_digest"]))
+        if rtype != "revisit":
+            headers.append(("WARC-Block-Digest", row["payload_digest"]))
+    if row.get("content_type") and rtype != "revisit":
+        headers.append(("Content-Type", row["content_type"]))
+    headers.append(("Content-Length", str(len(payload))))
+
+    buf = io.BytesIO()
+    buf.write(b"WARC/1.0\r\n")
+    for k, v in headers:
+        buf.write(("%s: %s\r\n" % (k, v)).encode("utf-8"))
+    buf.write(b"\r\n")
+    buf.write(payload)
+    buf.write(b"\r\n\r\n")
+    raw = buf.getvalue()
+    if gzip_member:
+        out = io.BytesIO()
+        with gzip.GzipFile(fileobj=out, mode="wb", mtime=0) as gz:
+            gz.write(raw)
+        return out.getvalue()
+    return raw
+
+
+def serialize_batch(batch: pa.Table, gzip_members: bool = True) -> bytes:
+    chunks = []
+    for row in batch.to_pylist():
+        chunks.append(serialize_record(row, gzip_members))
+    return b"".join(chunks)
+
+
+def _open_mode(path: str, mode: str):
+    """Reference tri-mode (warcit.py:143-148,409-419): default 'xb'
+    create-exclusive (EEXIST -> error), '-a' append, '-o' overwrite."""
+    if mode not in ("xb", "wb", "ab"):
+        raise ValueError("mode must be xb/wb/ab")
+    return open(path, mode)
+
+
+def write_warc_file(ds, path: str, mode: str = "xb", gzip_members: bool = True,
+                    batch_size: int = 256) -> int:
+    """Stream the record Dataset (already carrying seq) into one WARC
+    file in seq order. Returns the record count."""
+    n = 0
+    with _open_mode(path, mode) as fh:
+        for batch in ds.sort("seq").iter_batches(batch_size=batch_size, batch_format="pyarrow"):
+            fh.write(serialize_batch(batch, gzip_members))
+            n += batch.num_rows
+    return n
+
+
+def write_warc_shards(ds, out_dir: str, mode: str = "xb",
+                      gzip_members: bool = True) -> list[str]:
+    """Distributed sharded writer: each block becomes
+    ``<out_dir>/part-<min_seq:020d>.warc.gz`` written atomically
+    (tmp + rename), so lexicographic order reproduces record order and
+    a rerun skips parts that already exist (resumable layout)."""
+    if mode == "xb" and os.path.isdir(out_dir) and glob.glob(os.path.join(out_dir, "*.warc*")):
+        raise FileExistsError(out_dir + " already contains WARC shards (use mode='wb'/'ab')")
+    if mode == "wb" and os.path.isdir(out_dir):
+        for f in glob.glob(os.path.join(out_dir, "*.warc*")):
+            os.remove(f)
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip_members else ".warc"
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], type=pa.string()),
+                             "records": pa.array([], type=pa.int64())})
+        min_seq = min(batch.column("seq").to_pylist())
+        name = os.path.join(out_dir, "part-%020d%s" % (min_seq + (1 << 32), ext))
+        if not os.path.exists(name):  # resume: skip finished parts
+            tmp = name + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(serialize_batch(batch.sort_by("seq"), gzip_members))
+            os.rename(tmp, name)
+        return pa.table({"path": [name], "records": [batch.num_rows]})
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    return sorted(manifest["path"].tolist())
+
+
+# --- parser (for round-trip tests) ------------------------------------------
+
+def parse_warc(data: bytes) -> list[dict]:
+    """Parse .warc / .warc.gz bytes back into header-dict + payload rows."""
+    if data[:2] == b"\x1f\x8b":
+        # concatenated gzip members
+        data = gzip.decompress(data)
+    records = []
+    pos = 0
+    while pos < len(data):
+        nl = data.index(b"\r\n", pos)
+        version = data[pos:nl].decode()
+        if not version.startswith("WARC/"):
+            raise ValueError("bad record start at %d: %r" % (pos, version))
+        pos = nl + 2
+        headers: dict[str, str] = {}
+        while True:
+            nl = data.index(b"\r\n", pos)
+            line = data[pos:nl].decode("utf-8")
+            pos = nl + 2
+            if not line:
+                break
+            k, v = line.split(": ", 1)
+            headers[k] = v
+        length = int(headers["Content-Length"])
+        payload = data[pos: pos + length]
+        pos += length + 4  # two CRLFs
+        records.append({"headers": headers, "payload": payload})
+    return records
+
+
+def read_warc_dir(out_dir: str) -> list[dict]:
+    recs = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "part-*.warc*"))):
+        with open(path, "rb") as fh:
+            recs.extend(parse_warc(fh.read()))
+    return recs
