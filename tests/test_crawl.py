@@ -1,0 +1,227 @@
+"""Crawl-layer tests (north rule): cuckoo seen-set, politeness,
+robots, crawl-order equivalence vs an INDEPENDENT serial oracle,
+per-row decode invariants, and bit-identical resume from checkpoint."""
+
+import heapq
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from warcit_ray.codecs import decode, psnr
+from warcit_ray.functions.urls import surt, surt_host
+from warcit_ray.pipelines.crawl import CrawlCheckpoint, WebGraph, crawl
+from warcit_ray.sources.synth import make_caption, make_image, make_image_table
+from warcit_ray.state.cuckoo import CuckooFilter
+from warcit_ray.state.robots import allowed, parse_robots
+from warcit_ray.state.shards import HostShardState
+
+N = 120
+CLOCK = "2026-01-01T00:00:00Z"
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_image_table(N)
+
+
+# --- unit: state structures --------------------------------------------------
+
+def test_cuckoo_filter():
+    f = CuckooFilter(10000)
+    rng = np.random.default_rng(3)
+    keys = rng.integers(1, 2**63, 5000, dtype=np.uint64)
+    added = f.add_if_absent_batch(keys)
+    uniq = np.unique(keys)
+    assert added.sum() == len(uniq)
+    # no false negatives
+    assert f.contains_batch(uniq).all()
+    # re-add -> nothing new
+    assert f.add_if_absent_batch(keys).sum() == 0
+    # duplicate within one batch counts once
+    dup = np.array([7, 7, 7], dtype=np.uint64)
+    a = f.add_if_absent_batch(dup)
+    assert list(a) == [True, False, False]
+    # false-positive rate sane on fresh keys
+    fresh = rng.integers(2**63, 2**64 - 1, 20000, dtype=np.uint64)
+    fp = f.contains_batch(fresh).mean()
+    assert fp < 0.01
+
+
+def test_robots():
+    txt = """
+# comment
+User-agent: *
+Disallow: /private/
+Disallow: /tmp
+
+User-agent: evilbot
+Disallow: /
+"""
+    dis = parse_robots(txt)
+    assert dis == ["/private/", "/tmp"]
+    assert not allowed("http://h/private/x", dis)
+    assert allowed("http://h/public/x", dis)
+
+
+def test_hostshard_politeness_order():
+    hs = HostShardState(0, rate=1.0, capacity=2.0, robots_map={"a": ["/private/"]})
+    hs.offer(
+        ["a", "a", "a", "b", "a"],
+        ["http://a/x", "http://a/private/y", "http://a/z", "http://b/q", "http://a/w"],
+        [1, 0, 0, 0, 2],
+        [10, 11, 12, 13, 14],
+        ["", "", "", "", ""],
+        [0, 0, 0, 0, 0],
+    )
+    assert hs.get_stats()["robots_blocked"] == 1
+    # tick 1: host a has capacity 2 -> pops 2 best-priority; host b pops 1
+    out = hs.admit()
+    assert out["url"][:2] == ["http://a/z", "http://a/x"]  # (pri, seq) order
+    assert "http://b/q" in out["url"]
+    # tick 2: refill 1 token -> the remaining a URL
+    out2 = hs.admit()
+    assert out2["url"] == ["http://a/w"]
+    assert hs.pending() == 0
+
+
+# --- serial oracle (independent implementation) ------------------------------
+
+def serial_oracle(graph: WebGraph, n_seeds: int, max_generations: int,
+                  rate: float, capacity: float):
+    robots = graph.robots_map()
+    seen: set[str] = set()
+    heaps: dict[str, list] = {}
+    tokens: dict[str, float] = {}
+    frontier = [(u, graph.priority(graph.idx_of(u)), graph.idx_of(u))
+                for u in graph.seed_urls(n_seeds)]
+    visit_log = []
+    blocked = 0
+    for g in range(max_generations):
+        for url, pri, seq in frontier:
+            s = surt(url)
+            if s in seen:
+                continue
+            seen.add(s)
+            host = surt_host(url)
+            if not allowed(url, robots.get(host, ())):
+                blocked += 1
+                continue
+            heapq.heappush(heaps.setdefault(host, []), (pri, seq, url))
+        frontier = []
+        admitted = []
+        for host in sorted(heaps):
+            heap = heaps[host]
+            if not heap:
+                continue
+            tokens[host] = min(capacity, tokens.get(host, capacity) + rate)
+            k = int(tokens[host])
+            for _ in range(min(k, len(heap))):
+                pri, seq, url = heapq.heappop(heap)
+                admitted.append((host, url))
+                tokens[host] -= 1.0
+        if not admitted and not any(heaps.values()):
+            break
+        for host, url in admitted:
+            visit_log.append((g, host, url))
+            idx = graph.idx_of(url)
+            for lnk in graph.links(idx):
+                frontier.append((lnk, graph.priority(graph.idx_of(lnk)),
+                                 graph.idx_of(lnk)))
+    return {"visit_log": visit_log, "seen": seen, "robots_blocked": blocked}
+
+
+def test_crawl_matches_serial_oracle(corpus):
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=30, rate=1.0, capacity=2.0)
+    oracle = serial_oracle(graph, kw["n_seeds"], kw["max_generations"],
+                           kw["rate"], kw["capacity"])
+    res = crawl(corpus, graph=graph, num_seen_shards=3, num_host_shards=3,
+                clock_iso=CLOCK, **kw)
+
+    # per-host visit sequences identical (the politeness contract)
+    def per_host(log):
+        out: dict[str, list] = {}
+        for g, h, u in log:
+            out.setdefault(h, []).append(u)
+        return out
+
+    assert per_host(res["visit_log"]) == per_host(oracle["visit_log"])
+    # per-generation admitted SETS identical (global order may interleave
+    # differently across shards; the set per tick is the contract)
+    def per_gen(log):
+        out: dict[int, set] = {}
+        for g, h, u in log:
+            out.setdefault(g, set()).add(u)
+        return out
+
+    assert per_gen(res["visit_log"]) == per_gen(oracle["visit_log"])
+    # URL-seen set identical
+    visited_engine = {u for _, _, u in res["visit_log"]}
+    visited_oracle = {u for _, _, u in oracle["visit_log"]}
+    assert visited_engine == visited_oracle
+    assert res["robots_blocked"] == oracle["robots_blocked"]
+    assert res["seen"] == len(oracle["seen"])
+
+
+def test_crawl_records_invariants(corpus, tmp_path):
+    graph = WebGraph(N)
+    ck = str(tmp_path / "ck")
+    crawl(corpus, graph=graph, n_seeds=6, max_generations=8,
+          num_seen_shards=2, num_host_shards=2, clock_iso=CLOCK,
+          checkpoint_dir=ck)
+    # read all records partitions; verify decode + caption invariants
+    rows = []
+    for g in sorted(os.listdir(ck)):
+        rec_dir = os.path.join(ck, g, "records")
+        if os.path.isdir(rec_dir):
+            for f in sorted(os.listdir(rec_dir)):
+                rows.extend(pq.read_table(os.path.join(rec_dir, f)).to_pylist())
+    assert rows
+    for row in rows[:40]:
+        idx = int(row["image_id"][3:])
+        src = make_image(idx)
+        dec = decode(row["payload"], row["fmt"])
+        if row["fmt"] == "dctq":
+            assert psnr(dec, src) >= 40.0
+        else:
+            assert np.array_equal(dec, src)
+        assert row["caption"] == make_caption(idx)
+        from warcit_ray.functions.digests import sha1_b32
+        assert row["payload_digest"] == sha1_b32(row["payload"])
+
+
+def test_crawl_resume_bit_identical(corpus, tmp_path):
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=12, num_seen_shards=2,
+              num_host_shards=2, clock_iso=CLOCK)
+    ck_full = str(tmp_path / "full")
+    full = crawl(corpus, graph=graph, checkpoint_dir=ck_full, **kw)
+
+    ck_part = str(tmp_path / "part")
+    crawl(corpus, graph=graph, checkpoint_dir=ck_part,
+          stop_after_generation=3, **kw)
+    resumed = crawl(corpus, graph=graph, checkpoint_dir=ck_part, resume=True, **kw)
+
+    # same complete generations on disk
+    assert CrawlCheckpoint(ck_full).complete_generations() == \
+           CrawlCheckpoint(ck_part).complete_generations()
+
+    # record partitions identical (modulo row order within a generation)
+    def load_all(root):
+        out = []
+        for g in CrawlCheckpoint(root).complete_generations():
+            d = os.path.join(root, "gen=%05d" % g, "records")
+            if os.path.isdir(d):
+                for f in sorted(os.listdir(d)):
+                    out.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+        return sorted(out, key=lambda r: (r["generation"], r["host"], r["seq"]))
+
+    a, b = load_all(ck_full), load_all(ck_part)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra == rb
+    # the resumed run continued, not restarted: its visit log only covers
+    # generations after the stop point
+    assert all(g > 3 for g, _, _ in resumed["visit_log"])

@@ -1,0 +1,517 @@
+"""The crawl frontier + fetch scheduler (north rule).
+
+Dataflow per generation (driver loop over bounded generations — Ray
+Data has no unbounded streams and none are needed, SURVEY §2.7):
+
+    frontier Dataset (url, priority, seq, payload_key, depth)
+      -> map_batches(SeenProbe)     # SURT -> hash64 -> sharded cuckoo
+                                    #   add_if_absent; only NEW urls pass
+      -> map_batches(OfferStage)    # route by hash(host) % H to the
+                                    #   HostShard politeness actors
+      [barrier: ray.get all offers]
+      admitted = HostShard.admit()  # deterministic per-host pops
+      -> Dataset -> map_batches(FetchStage)   # corpus lookup, WARC row,
+                                              #   link discovery
+      -> write_parquet(ckpt/gen=g/records)    # resumable partition
+      next frontier = exploded links Dataset
+
+State partitioning is explicit: the URL-seen set shards on
+``hash64(surt(url)) % S`` (uniform), politeness shards on
+``blake2(host) % H`` (politeness local to one actor per host). Skewed
+hosts are handled by batch-level pre-dedup (np.unique per batch before
+probing) and by the salt hook in :func:`host_shard_of` — a hot host's
+probe traffic spreads across salts while its token bucket stays on one
+shard. Every generation writes a lineage manifest (records partition,
+seen-set deltas, host-shard snapshots) so a killed crawl resumes
+bit-identically (tested in tests/test_crawl.py).
+
+The "web" being crawled is the image+caption corpus itself
+(BASELINE.json input_hint): each row is a page whose URL, host, robots
+visibility, out-links and priority are pure functions of its index —
+see :class:`WebGraph`. At 100 TB the fetch stage would read corpus
+partitions co-partitioned by ``hash(image_id)``; at test scale the
+corpus is broadcast once via ``ray.put`` and resolved per actor in
+``__init__`` (the prescribed small-side broadcast pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs import MIME_BY_FMT
+from ..functions.digests import record_id, sha1_b32
+from ..functions.urls import surt, surt_hash64_batch, surt_host
+from ..state.shards import HostShardState, SeenShardState
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("priority", pa.int64()),
+        pa.field("seq", pa.int64()),
+        pa.field("payload_key", pa.string()),
+        pa.field("depth", pa.int64()),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic web graph over the corpus
+# ---------------------------------------------------------------------------
+
+class WebGraph:
+    """URLs, hosts, robots, links, priorities as pure functions of the
+    image index — the synthetic 'web' whose pages are the corpus rows."""
+
+    def __init__(self, n: int, n_hosts: int = 13, fanout: int = 4,
+                 private_every: int = 17):
+        self.n = n
+        self.n_hosts = n_hosts
+        self.fanout = fanout
+        self.private_every = private_every
+
+    def host(self, idx: int) -> str:
+        return "h%02d.example" % (idx % self.n_hosts)
+
+    def path(self, idx: int) -> str:
+        prefix = "private" if (self.private_every and idx % self.private_every == 0
+                               and idx > 0) else "img"
+        return "/%s/img%08d" % (prefix, idx)
+
+    def url(self, idx: int) -> str:
+        return "http://%s%s" % (self.host(idx), self.path(idx))
+
+    def idx_of(self, url: str) -> int:
+        return int(url.rsplit("img", 1)[-1])
+
+    def links(self, idx: int) -> list[str]:
+        return [
+            self.url((idx * 31 + 7 * (j + 1) + (j + 1) * (j + 1)) % self.n)
+            for j in range(self.fanout)
+        ]
+
+    def priority(self, idx: int) -> int:
+        return idx % 3
+
+    def robots_map(self) -> dict[str, list[str]]:
+        return {"h%02d.example" % i: ["/private/"] for i in range(self.n_hosts)}
+
+    def seed_urls(self, n_seeds: int) -> list[str]:
+        return [self.url(i * 7 % self.n) for i in range(n_seeds)]
+
+
+def host_shard_of(host: str, num_shards: int, salt: int = 0) -> int:
+    """Politeness routing: stable hash of the UNSALTED host, so every
+    salt bucket of a hot host still reaches its one authoritative
+    token bucket."""
+    h = hashlib.blake2b(host.encode(), digest_size=4).digest()
+    return (int.from_bytes(h, "little") + 0 * salt) % num_shards
+
+
+# ---------------------------------------------------------------------------
+# Stages
+# ---------------------------------------------------------------------------
+
+class SeenProbe:
+    """map_batches stage: canonicalize -> hash -> sharded add_if_absent.
+
+    Batch-level pre-dedup (np.unique) runs before any actor round-trip;
+    per-shard probes go out concurrently (one ray.get on the set)."""
+
+    def __init__(self, seen_actors):
+        self.seen = seen_actors
+        self.n = len(seen_actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        urls = batch.column("url").to_pylist()
+        if not urls:
+            return batch
+        surts = [surt(u) for u in urls]
+        hashes = surt_hash64_batch(surts)
+        # batch-local dedup first (skew guard: a hot URL costs one probe)
+        uniq, inverse = np.unique(hashes, return_inverse=True)
+        first_of = np.zeros(len(uniq), dtype=np.int64)
+        seen_pos = {}
+        for pos, inv in enumerate(inverse):
+            if inv not in seen_pos:
+                seen_pos[inv] = pos
+                first_of[inv] = pos
+        shard = (uniq % np.uint64(self.n)).astype(np.int64)
+        refs, idxs = [], []
+        for s in range(self.n):
+            sel = np.nonzero(shard == s)[0]
+            if len(sel):
+                refs.append(self.seen[s].add_if_absent.remote(uniq[sel]))
+                idxs.append(sel)
+        added_uniq = np.zeros(len(uniq), dtype=bool)
+        for ref, sel in zip(ray.get(refs), idxs):
+            added_uniq[sel] = ref
+        keep = np.zeros(len(urls), dtype=bool)
+        # a row survives iff its hash is new AND it is the first
+        # occurrence of that hash in this batch
+        for i, inv in enumerate(inverse):
+            keep[i] = added_uniq[inv] and (first_of[inv] == i)
+        return batch.filter(pa.array(keep))
+
+
+class OfferStage:
+    """map_batches stage: route new URLs to their HostShard actors."""
+
+    def __init__(self, host_actors):
+        self.host_actors = host_actors
+        self.n = len(host_actors)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        urls = batch.column("url").to_pylist()
+        if not urls:
+            return pa.table({"offered": pa.array([], type=pa.int64())})
+        hosts = [surt_host(u) for u in urls]
+        pris = batch.column("priority").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        keys = batch.column("payload_key").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        by_shard: dict[int, list[int]] = {}
+        for i, h in enumerate(hosts):
+            by_shard.setdefault(host_shard_of(h, self.n), []).append(i)
+        refs = []
+        for s, rows in by_shard.items():
+            refs.append(
+                self.host_actors[s].offer.remote(
+                    [hosts[i] for i in rows], [urls[i] for i in rows],
+                    [pris[i] for i in rows], [seqs[i] for i in rows],
+                    [keys[i] for i in rows], [depths[i] for i in rows],
+                )
+            )
+        offered = sum(ray.get(refs))
+        return pa.table({"offered": pa.array([offered], type=pa.int64())})
+
+
+CRAWL_RECORD_FIELDS = [
+    "generation", "seq", "record_type", "target_uri", "host", "warc_date",
+    "content_type", "payload", "content_length", "payload_digest",
+    "record_id", "image_id", "fmt", "caption", "links",
+]
+
+
+class FetchStage:
+    """Actor-pool fetch/convert: admitted URL -> corpus row -> WARC
+    resource row + discovered links. Corpus ref resolved ONCE per actor."""
+
+    def __init__(self, corpus_ref, graph: WebGraph, clock_iso: str):
+        import ray
+
+        corpus = ray.get(corpus_ref) if not isinstance(corpus_ref, dict) else corpus_ref
+        self.corpus = corpus  # image_id -> (bytes, fmt, caption)
+        self.graph = graph
+        self.clock = clock_iso
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {f: [] for f in CRAWL_RECORD_FIELDS}
+        for row in batch.to_pylist():
+            idx = self.graph.idx_of(row["url"])
+            image_id = "img%08d" % idx
+            payload, fmt, caption = self.corpus.get(image_id, (b"", "", ""))
+            digest = sha1_b32(payload)
+            out["generation"].append(row["generation"])
+            out["seq"].append(row["seq"])
+            out["record_type"].append("resource")
+            out["target_uri"].append(row["url"])
+            out["host"].append(row["host"])
+            out["warc_date"].append(self.clock)
+            out["content_type"].append(MIME_BY_FMT.get(fmt, "application/octet-stream"))
+            out["payload"].append(payload)
+            out["content_length"].append(len(payload))
+            out["payload_digest"].append(digest)
+            out["record_id"].append(
+                record_id(row["url"], self.clock, digest, "resource", row["seq"])
+            )
+            out["image_id"].append(image_id)
+            out["fmt"].append(fmt)
+            out["caption"].append(caption)
+            out["links"].append(self.graph.links(idx))
+        schema = pa.schema(
+            [
+                pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
+                pa.field("record_type", pa.string()), pa.field("target_uri", pa.string()),
+                pa.field("host", pa.string()), pa.field("warc_date", pa.string()),
+                pa.field("content_type", pa.string()), pa.field("payload", pa.binary()),
+                pa.field("content_length", pa.int64()), pa.field("payload_digest", pa.string()),
+                pa.field("record_id", pa.string()), pa.field("image_id", pa.string()),
+                pa.field("fmt", pa.string()), pa.field("caption", pa.string()),
+                pa.field("links", pa.list_(pa.string())),
+            ]
+        )
+        return pa.table(out, schema=schema)
+
+
+def explode_links(batch: pa.Table, graph: WebGraph) -> pa.Table:
+    """Vectorized 1->N link expansion to next-generation frontier rows
+    (pyarrow list flatten, no per-row Python for the explode)."""
+    links = batch.column("links")
+    if isinstance(links, pa.ChunkedArray):
+        links = links.combine_chunks()
+    flat = links.flatten()
+    urls = flat.to_pylist()
+    idxs = [graph.idx_of(u) for u in urls]
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "priority": pa.array([graph.priority(i) for i in idxs], type=pa.int64()),
+            "seq": pa.array(idxs, type=pa.int64()),  # stable discovery key
+            "payload_key": pa.array(["img%08d" % i for i in idxs], type=pa.string()),
+            "depth": pa.array(np.zeros(len(urls), dtype=np.int64)),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver loop + checkpoint lineage
+# ---------------------------------------------------------------------------
+
+def seeds_table(graph: WebGraph, n_seeds: int) -> pa.Table:
+    urls = graph.seed_urls(n_seeds)
+    idxs = [graph.idx_of(u) for u in urls]
+    return pa.table(
+        {
+            "url": urls,
+            "priority": pa.array([graph.priority(i) for i in idxs], type=pa.int64()),
+            "seq": pa.array(idxs, type=pa.int64()),
+            "payload_key": ["img%08d" % i for i in idxs],
+            "depth": pa.array(np.zeros(len(urls), dtype=np.int64)),
+        },
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def corpus_dict(table: pa.Table) -> dict[str, tuple]:
+    return {
+        r["image_id"]: (r["bytes"], r["fmt"], r["caption"])
+        for r in table.select(["image_id", "bytes", "fmt", "caption"]).to_pylist()
+    }
+
+
+class CrawlCheckpoint:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def gen_dir(self, g: int) -> str:
+        return os.path.join(self.root, "gen=%05d" % g)
+
+    def complete_generations(self) -> list[int]:
+        out = []
+        if not os.path.isdir(self.root):
+            return out
+        for name in sorted(os.listdir(self.root)):
+            if name.startswith("gen=") and os.path.exists(
+                os.path.join(self.root, name, "manifest.json")
+            ):
+                out.append(int(name.split("=")[1]))
+        return out
+
+    def write_generation(self, g: int, *, records_ds, admitted: pa.Table,
+                         next_frontier: pa.Table | None,
+                         seen_deltas: list[np.ndarray], host_states: list[dict],
+                         stats: dict) -> None:
+        d = self.gen_dir(g)
+        os.makedirs(d, exist_ok=True)
+        if records_ds is not None:
+            records_ds.write_parquet(os.path.join(d, "records"))
+        pq.write_table(admitted, os.path.join(d, "admitted.parquet"))
+        if next_frontier is not None and next_frontier.num_rows:
+            # links discovered this generation but not yet offered — they
+            # are NOT in the host-shard snapshots, so resume needs them
+            pq.write_table(next_frontier, os.path.join(d, "next_frontier.parquet"))
+        for i, delta in enumerate(seen_deltas):
+            pq.write_table(
+                pa.table({"hash": pa.array(delta, type=pa.uint64())}),
+                os.path.join(d, "seen_delta_%04d.parquet" % i),
+            )
+        with open(os.path.join(d, "host_state.json"), "w") as fh:
+            json.dump(host_states, fh)
+        # manifest written LAST: its presence marks the generation durable
+        tmp = os.path.join(d, "manifest.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"generation": g, **stats}, fh)
+        os.rename(tmp, os.path.join(d, "manifest.json"))
+
+    def load_seen_deltas(self, upto_gen: int, num_shards: int) -> list[np.ndarray]:
+        parts: list[list[np.ndarray]] = [[] for _ in range(num_shards)]
+        for g in self.complete_generations():
+            if g > upto_gen:
+                continue
+            d = self.gen_dir(g)
+            for i in range(num_shards):
+                p = os.path.join(d, "seen_delta_%04d.parquet" % i)
+                if os.path.exists(p):
+                    parts[i].append(pq.read_table(p).column("hash").to_numpy())
+        return [
+            np.concatenate(p) if p else np.empty(0, dtype=np.uint64) for p in parts
+        ]
+
+    def load_host_states(self, g: int) -> list[dict]:
+        with open(os.path.join(self.gen_dir(g), "host_state.json")) as fh:
+            return json.load(fh)
+
+    def load_next_frontier(self, g: int) -> pa.Table | None:
+        p = os.path.join(self.gen_dir(g), "next_frontier.parquet")
+        return pq.read_table(p) if os.path.exists(p) else None
+
+
+def crawl(
+    corpus_table: pa.Table,
+    *,
+    graph: WebGraph | None = None,
+    n_seeds: int = 8,
+    max_generations: int = 10,
+    num_seen_shards: int = 4,
+    num_host_shards: int = 4,
+    rate: float = 1.0,
+    capacity: float = 2.0,
+    clock_iso: str = "2026-01-01T00:00:00Z",
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    stop_after_generation: int | None = None,
+    batch_size: int = 4096,
+    fetch_concurrency: int = 4,
+) -> dict:
+    """Run the crawl; returns stats + (if checkpointing) the output layout.
+
+    ``resume=True`` restores seen/host state from the last complete
+    generation in ``checkpoint_dir`` and continues; finished
+    generations are never recomputed (their records partitions stay)."""
+    import ray
+    import ray.data as rd
+
+    from ..state.shards import make_actors
+
+    n = corpus_table.num_rows
+    graph = graph or WebGraph(n)
+    ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None
+
+    seen_actors, host_actors = make_actors(
+        num_seen_shards, num_host_shards,
+        seen_capacity=max(4096, 4 * n),
+        rate=rate, capacity=capacity, robots_map=graph.robots_map(),
+    )
+
+    start_gen = 0
+    frontier: pa.Table | None = seeds_table(graph, n_seeds)
+    if resume:
+        if ckpt is None:
+            raise ValueError("resume requires checkpoint_dir")
+        done = ckpt.complete_generations()
+        if done:
+            last = done[-1]
+            deltas = ckpt.load_seen_deltas(last, num_seen_shards)
+            ray.get([a.replay.remote(d) for a, d in zip(seen_actors, deltas)])
+            states = ckpt.load_host_states(last)
+            ray.get([a.restore_state.remote(s) for a, s in zip(host_actors, states)])
+            start_gen = last + 1
+            # pending URLs live in the restored host shards; links found in
+            # the last generation but never offered resume as the frontier
+            frontier = ckpt.load_next_frontier(last)
+
+    corpus_ref = ray.put(corpus_dict(corpus_table))
+    totals = {"admitted": 0, "offered": 0, "generations": 0}
+    visit_log: list[tuple] = []
+
+    for g in range(start_gen, max_generations):
+        # --- 1. dedup + offer the current frontier (if any) -------------
+        if frontier is not None and frontier.num_rows:
+            fds = rd.from_arrow(frontier)
+            offered = (
+                fds.map_batches(SeenProbe, fn_constructor_args=(seen_actors,),
+                                batch_size=batch_size, batch_format="pyarrow",
+                                concurrency=2)
+                .map_batches(OfferStage, fn_constructor_args=(host_actors,),
+                             batch_size=batch_size, batch_format="pyarrow",
+                             concurrency=2)
+                .to_pandas()
+            )
+            totals["offered"] += int(offered["offered"].sum()) if len(offered) else 0
+        frontier = None
+
+        # --- 2. politeness tick: admit per host --------------------------
+        admits = ray.get([a.admit.remote() for a in host_actors])
+        cols = {k: [] for k in ("host", "url", "priority", "seq", "payload_key", "depth")}
+        for ad in admits:  # shard order is fixed -> deterministic concat
+            for k in cols:
+                cols[k].extend(ad[k])
+        n_admitted = len(cols["url"])
+        if n_admitted == 0:
+            pending = sum(ray.get([a.pending.remote() for a in host_actors]))
+            if pending == 0:
+                break
+            # buckets empty this tick but URLs remain: next tick refills
+        admitted = pa.table(
+            {
+                "generation": pa.array([g] * n_admitted, type=pa.int64()),
+                "host": pa.array(cols["host"], type=pa.string()),
+                "url": pa.array(cols["url"], type=pa.string()),
+                "priority": pa.array(cols["priority"], type=pa.int64()),
+                "seq": pa.array(cols["seq"], type=pa.int64()),
+                "payload_key": pa.array(cols["payload_key"], type=pa.string()),
+                "depth": pa.array(cols["depth"], type=pa.int64()),
+            }
+        )
+        totals["admitted"] += n_admitted
+        totals["generations"] = g + 1
+        for h, u in zip(cols["host"], cols["url"]):
+            visit_log.append((g, h, u))
+
+        # --- 3. fetch + link discovery -----------------------------------
+        records_ds = None
+        next_frontier = None
+        if n_admitted:
+            records_ds = rd.from_arrow(admitted).map_batches(
+                FetchStage,
+                fn_constructor_args=(corpus_ref, graph, clock_iso),
+                batch_size=256, batch_format="pyarrow",
+                concurrency=fetch_concurrency,
+            ).materialize()
+            link_tables = [
+                explode_links(b, graph)
+                for b in records_ds.select_columns(["links"]).iter_batches(
+                    batch_size=batch_size, batch_format="pyarrow")
+            ]
+            next_frontier = (
+                pa.concat_tables(link_tables) if link_tables else None
+            )
+
+        # --- 4. checkpoint lineage ---------------------------------------
+        if ckpt is not None:
+            deltas = ray.get([a.flush_delta.remote() for a in seen_actors])
+            states = ray.get([a.checkpoint_state.remote() for a in host_actors])
+            ckpt.write_generation(
+                g,
+                records_ds=records_ds.drop_columns(["links"]) if records_ds else None,
+                admitted=admitted,
+                next_frontier=next_frontier,
+                seen_deltas=deltas,
+                host_states=states,
+                stats={"admitted": n_admitted},
+            )
+
+        frontier = next_frontier
+        if stop_after_generation is not None and g >= stop_after_generation:
+            break
+
+    stats = [s for s in ray.get([a.get_stats.remote() for a in host_actors])]
+    seen_count = sum(ray.get([a.count.remote() for a in seen_actors]))
+    totals["seen"] = seen_count
+    totals["robots_blocked"] = sum(s.get("robots_blocked", 0) for s in stats)
+    totals["visit_log"] = visit_log
+    for a in seen_actors + host_actors:
+        ray.kill(a)
+    return totals

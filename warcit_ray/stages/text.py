@@ -1,0 +1,137 @@
+"""Text-analysis operators for training-data pipelines (first-class
+engine components per the build brief): language ID, quality scoring,
+token counting, document fingerprinting.
+
+All are single-pass ``map_batches`` stages over the ``documents`` table
+(columns doc_id, text, lang, source, n_chars). Regexes and stopword
+tables are module-level constants compiled at import (once per worker
+process) — callable classes are provided for actor-pool use where the
+setup matters.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+_TOKEN_RX = re.compile(r"[a-za-z0-9]+(?:'[a-z]+)?", re.I)
+# BPE-ish pretokenizer: word pieces, numbers, punctuation runs
+_BPEISH_RX = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]+")
+_PUNCT_RX = re.compile(r"[^\w\s]")
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "en", "por", "que"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count + BPE-ish piece count, vectorized via the
+    Arrow split/list kernels (no per-row Python for ws_tokens)."""
+    text = batch.column(text_col)
+    ws = pc.list_value_length(pc.utf8_split_whitespace(text))
+    pieces = pa.array(
+        [len(_BPEISH_RX.findall(t)) if t else 0 for t in text.to_pylist()],
+        type=pa.int64(),
+    )
+    return batch.append_column("ws_tokens", pc.cast(ws, pa.int64())).append_column(
+        "bpeish_tokens", pieces
+    )
+
+
+def quality_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Heuristic quality features: length, punctuation ratio, stopword
+    ratio, mean token length, plus a composed [0,1] score."""
+    texts = df[text_col].fillna("")
+    n_chars = texts.str.len().astype("int64")
+    toks = texts.str.split()
+    n_tokens = toks.str.len().fillna(0).astype("int64")
+    mean_tok = (n_chars / n_tokens.clip(lower=1)).astype("float64")
+    punct = texts.str.count(r"[^\w\s]").astype("int64")
+    punct_ratio = (punct / n_chars.clip(lower=1)).astype("float64")
+    stop_en = STOPWORDS["en"]
+    stop_hits = toks.map(lambda ws: sum(w.lower() in stop_en for w in ws) if isinstance(ws, list) else 0)
+    stop_ratio = (stop_hits / n_tokens.clip(lower=1)).astype("float64")
+    score = (
+        np.clip(n_tokens / 64.0, 0, 1) * 0.4
+        + np.clip(1.0 - punct_ratio * 4.0, 0, 1) * 0.3
+        + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
+    )
+    df = df.copy()
+    df["n_tokens"] = n_tokens
+    df["mean_token_len"] = mean_tok
+    df["punct_ratio"] = punct_ratio
+    df["stopword_ratio"] = stop_ratio
+    df["quality"] = score.astype("float64")
+    return df
+
+
+class LangId:
+    """n-gram/stopword language heuristic over {en,de,fr,es,zh}.
+    CJK codepoint ratio decides zh; otherwise argmax stopword hits with
+    'en' fallback. Actor-pool class: tables built once per actor."""
+
+    def __init__(self):
+        self.stops = {k: frozenset(v) for k, v in STOPWORDS.items()}
+        self.word_rx = re.compile(r"[^\W\d_]+", re.U)
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:400] if "一" <= ch <= "鿿")
+        if cjk > 0.05 * min(len(text), 400):
+            return "zh"
+        words = [w.lower() for w in self.word_rx.findall(text[:2000])]
+        if not words:
+            return "und"
+        best, best_hits = "en", -1
+        for lang in ("en", "de", "fr", "es"):
+            hits = sum(w in self.stops[lang] for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits > 0 else "und"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
+
+
+_FP_MOD = np.uint64((1 << 61) - 1)
+_FP_BASE = np.uint64(1_000_003)
+
+
+def fingerprint(text: str) -> int:
+    """Deterministic 63-bit rolling polynomial hash of the
+    whitespace-normalized text (document fingerprint)."""
+    h = np.uint64(0)
+    norm = _WS.sub(" ", text.strip().lower())
+    data = norm.encode("utf-8")
+    # vectorized horner via chunked reduce
+    for b in data:
+        h = (h * _FP_BASE + np.uint64(b + 1)) % _FP_MOD
+    return int(h)
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    fps = pa.array([fingerprint(t or "") for t in batch.column(text_col).to_pylist()],
+                   type=pa.int64())
+    return batch.append_column("fingerprint", fps)
+
+
+def md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Content hash column (lowercase hex md5 — comparable to DuckDB's
+    md5())."""
+    hs = pa.array(
+        [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+         for t in batch.column(text_col).to_pylist()],
+        type=pa.string(),
+    )
+    return batch.append_column("text_md5", hs)

@@ -1,0 +1,172 @@
+"""The sharded crawl-state actors (north rule):
+
+- :class:`SeenShard` — a cuckoo-filter shard of the URL-seen set keyed
+  on SURT-form 64-bit hashes; batch ``add_if_absent`` API; records
+  per-generation insert deltas for checkpoint lineage.
+- :class:`HostShard` — per-host politeness token buckets, robots
+  gating, and a deterministic priority min-heap frontier for every
+  host whose hash lands on this shard.
+
+Shard routing is ``hash % num_shards`` on the *host* for HostShard
+(politeness must be local to one actor per host) and on the *URL hash*
+for SeenShard (uniform load). Hot hosts are handled above this layer
+by salting (pipelines/crawl.py): a salted host ``h#k`` still routes all
+its salt buckets to the same HostShard so the token bucket stays
+authoritative, but batch-level pre-dedup spreads.
+
+Both actors are plain classes decorated at creation time so the module
+imports without Ray (unit-testable serially — the serial oracle in the
+equivalence test drives the same classes without actors).
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import Counter
+
+import numpy as np
+
+from .cuckoo import CuckooFilter
+from .robots import allowed
+
+
+class SeenShardState:
+    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.filter = CuckooFilter(capacity)
+        self._delta: list[np.ndarray] = []
+
+    def add_if_absent(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        added = self.filter.add_if_absent_batch(hashes)
+        if added.any():
+            self._delta.append(hashes[added])
+        return added
+
+    def flush_delta(self) -> np.ndarray:
+        """Hashes inserted since the last flush — the checkpoint's
+        per-partition lineage record (replayed on resume)."""
+        if not self._delta:
+            return np.empty(0, dtype=np.uint64)
+        out = np.concatenate(self._delta)
+        self._delta = []
+        return out
+
+    def replay(self, hashes: np.ndarray) -> int:
+        """Resume path: re-insert checkpointed hashes WITHOUT recording
+        a new delta."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        added = self.filter.add_if_absent_batch(hashes)
+        return int(added.sum())
+
+    def count(self) -> int:
+        return self.filter.count
+
+
+class HostShardState:
+    """Token-bucket politeness + robots + priority frontier for the
+    hosts on this shard.
+
+    Determinism contract (tested against the serial oracle): for a
+    given (seed set, robots map, rate, capacity), every host emits the
+    same visit sequence — the heap orders by (priority, seq, url) and
+    ``admit`` walks hosts in sorted order."""
+
+    def __init__(self, shard_id: int, rate: float = 1.0, capacity: float = 2.0,
+                 robots_map: dict[str, list[str]] | None = None):
+        self.shard_id = shard_id
+        self.rate = rate
+        self.capacity = capacity
+        self.robots = robots_map or {}
+        self.hosts: dict[str, dict] = {}
+        self.stats: Counter = Counter()
+
+    def _host(self, host: str) -> dict:
+        st = self.hosts.get(host)
+        if st is None:
+            st = {"tokens": self.capacity, "heap": []}
+            self.hosts[host] = st
+        return st
+
+    def offer(self, hosts: list[str], urls: list[str], priorities: list[int],
+              seqs: list[int], payload_keys: list[str], depths: list[int]) -> int:
+        """Enqueue candidate URLs (already seen-filtered). Robots-gated
+        here so a disallowed URL never occupies frontier memory."""
+        accepted = 0
+        for host, url, pri, seq, key, depth in zip(
+            hosts, urls, priorities, seqs, payload_keys, depths
+        ):
+            if not allowed(url, self.robots.get(host, ())):
+                self.stats["robots_blocked"] += 1
+                continue
+            heapq.heappush(self._host(host)["heap"], (pri, seq, url, key, depth))
+            accepted += 1
+        self.stats["offered"] += accepted
+        return accepted
+
+    def admit(self) -> dict[str, list]:
+        """One politeness tick: refill each bucket by ``rate`` (capped),
+        pop floor(tokens) URLs per host in priority order."""
+        out: dict[str, list] = {"host": [], "url": [], "priority": [],
+                                "seq": [], "payload_key": [], "depth": []}
+        for host in sorted(self.hosts):
+            st = self.hosts[host]
+            if not st["heap"]:
+                continue
+            st["tokens"] = min(self.capacity, st["tokens"] + self.rate)
+            k = int(st["tokens"])
+            for _ in range(min(k, len(st["heap"]))):
+                pri, seq, url, key, depth = heapq.heappop(st["heap"])
+                out["host"].append(host)
+                out["url"].append(url)
+                out["priority"].append(pri)
+                out["seq"].append(seq)
+                out["payload_key"].append(key)
+                out["depth"].append(depth)
+                st["tokens"] -= 1.0
+        self.stats["admitted"] += len(out["url"])
+        return out
+
+    def pending(self) -> int:
+        return sum(len(st["heap"]) for st in self.hosts.values())
+
+    def get_stats(self) -> dict:
+        return dict(self.stats)
+
+    # -- checkpoint lineage -------------------------------------------------
+
+    def checkpoint_state(self) -> dict:
+        return {
+            "rate": self.rate,
+            "capacity": self.capacity,
+            "hosts": {
+                h: {"tokens": st["tokens"], "heap": sorted(st["heap"])}
+                for h, st in self.hosts.items()
+            },
+            "stats": dict(self.stats),
+        }
+
+    def restore_state(self, state: dict) -> None:
+        self.rate = state["rate"]
+        self.capacity = state["capacity"]
+        self.hosts = {
+            h: {"tokens": s["tokens"], "heap": [tuple(e) for e in s["heap"]]}
+            for h, s in state["hosts"].items()
+        }
+        for st in self.hosts.values():
+            heapq.heapify(st["heap"])
+        self.stats = Counter(state["stats"])
+
+
+def make_actors(num_seen: int, num_host: int, *, seen_capacity: int = 1 << 20,
+                rate: float = 1.0, capacity: float = 2.0,
+                robots_map: dict | None = None):
+    """Create the actor fleets. Seen shards get a fraction of a CPU so
+    a large fleet doesn't starve the data plane."""
+    import ray
+
+    Seen = ray.remote(num_cpus=0.25)(SeenShardState)
+    Host = ray.remote(num_cpus=0.25)(HostShardState)
+    seen = [Seen.remote(i, seen_capacity) for i in range(num_seen)]
+    host = [Host.remote(i, rate, capacity, robots_map) for i in range(num_host)]
+    return seen, host
