@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in warcit_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline on /root/testdata/sf0.001.
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2 +
+  the training-data ops). Each callable takes sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for the SQL-expressible queries;
+  genuinely non-SQL ops (crawl scheduling, LSH/minhash/simhash
+  candidates, language ID, image codecs, IVF ANN) are omitted and get
+  the driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +19,197 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: WARC-equivalent resource rows + exact-dedup annotation
+    over the sf0.001 documents table (read -> map_batches -> aggregate)."""
+    from warcit_ray.pipelines import queries as q
+
+    return q.warc_build_docs("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from warcit_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational coverage (sources, filters, aggregates, joins, sort/limit)
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "q3_top_orders": q.q3_top_orders,
+        "top_customers": q.top_customers,
+        "events_hourly": q.events_hourly,
+        "lang_stats": q.lang_stats,
+        # warcit operator semantics (SURVEY §2: M1, M2, M4, M6, M7, M8)
+        "url_escape": q.url_escape,
+        "mime_by_extension": q.mime_by_extension,
+        "include_exclude": q.include_exclude,
+        "iso_timestamps": q.iso_timestamps,
+        "revisit_expansion": q.revisit_expansion,
+        "warc_build_docs": q.warc_build_docs,
+        "warc_digests": q.warc_digests,
+        # training-data ops
+        "dedup_exact": q.dedup_exact,
+        "token_counts": q.token_counts,
+        "embedding_topk": q.embedding_topk,
+        "embedding_near_dup": q.embedding_near_dup,
+        "minhash_dedup": q.minhash_dedup,
+        "simhash_dedup": q.simhash_dedup,
+        "lang_id": q.lang_id,
+        "quality_scores": q.quality_scores,
+        "fingerprints": q.fingerprints,
+        "ann_ivf": q.ann_ivf,
+        # crawl + image pipelines (north rule; rows-only)
+        "crawl_demo": q.crawl_demo,
+        "image_transcode": q.image_transcode,
+        "phash_near_dup": q.phash_near_dup,
+    }
+
+
+# The percent-escape chain for url_escape (reference base.py:107):
+# every char of '#;?:@&=+$, ' -> lowercase %xx. Expressed in SQL as a
+# nested replace chain (replacement strings contain no escaped chars, so
+# order is irrelevant).
+_ESCAPE_SQL = "s"
+for _c, _r in [("#", "%23"), (";", "%3b"), ("?", "%3f"), (":", "%3a"),
+               ("@", "%40"), ("&", "%26"), ("=", "%3d"), ("+", "%2b"),
+               ("$", "%24"), (",", "%2c"), (" ", "%20")]:
+    _ESCAPE_SQL = "replace(%s, '%s', '%s')" % (_ESCAPE_SQL, _c, _r)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   o.o_orderdate
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderkey
+            LIMIT 10
+        """,
+        "top_customers": """
+            SELECT o.o_custkey AS c_custkey,
+                   max(c.c_name) AS c_name,
+                   round(sum(o.o_totalprice), 2) AS total_spend,
+                   count(*) AS n_orders
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY o.o_custkey
+            ORDER BY total_spend DESC, c_custkey
+            LIMIT 10
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type, date_trunc('hour', ts)
+            ORDER BY event_type, hour
+        """,
+        "lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "url_escape": """
+            SELECT doc_id,
+                   'http://docs.example/' || {esc} AS url
+            FROM (
+                SELECT doc_id,
+                       source || '/' || 'doc#' || CAST(doc_id AS VARCHAR)
+                              || ' v1,x.txt' AS s
+                FROM documents
+            ) ORDER BY doc_id
+        """.format(esc=_ESCAPE_SQL),
+        "mime_by_extension": """
+            SELECT doc_id,
+                   'http://docs.example/f' || CAST(doc_id AS VARCHAR) || ext AS url,
+                   CASE ext WHEN '.html' THEN 'text/html'
+                            WHEN '.css' THEN 'text/css'
+                            WHEN '.js' THEN 'text/javascript'
+                            WHEN '.png' THEN 'image/png'
+                            WHEN '.ico' THEN 'image/x-icon' END AS mime
+            FROM (
+                SELECT doc_id,
+                       CASE doc_id % 5 WHEN 0 THEN '.html' WHEN 1 THEN '.css'
+                            WHEN 2 THEN '.js' WHEN 3 THEN '.png'
+                            ELSE '.ico' END AS ext
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        "include_exclude": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id % 5) = 0 THEN TRUE           -- *.html: include wins
+                        WHEN (doc_id % 5) IN (2, 3) THEN FALSE    -- *.js / *.png excluded
+                        ELSE TRUE END AS kept
+            FROM documents ORDER BY doc_id
+        """,
+        "iso_timestamps": """
+            SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS warc_date
+            FROM events ORDER BY event_id
+        """,
+        "revisit_expansion": """
+            SELECT doc_id, record_type, target_uri FROM (
+                SELECT doc_id, 'resource' AS record_type,
+                       'http://docs.example/src' || CAST(doc_id AS VARCHAR)
+                           || '/index.html' AS target_uri
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'revisit' AS record_type,
+                       'http://docs.example/src' || CAST(doc_id AS VARCHAR)
+                           || '/' AS target_uri
+                FROM documents WHERE doc_id % 10 = 0
+            ) ORDER BY doc_id, record_type
+        """,
+        "warc_build_docs": """
+            SELECT doc_id,
+                   'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' AS target_uri,
+                   'text/plain' AS content_type,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS content_length
+            FROM documents ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY text_md5
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+                       AS ws_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid,
+                       row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                       embedding AS qv
+                FROM embeddings ORDER BY vec_id LIMIT 5
+            ), scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(q.qv, e.embedding) AS score
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
+    }

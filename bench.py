@@ -1,0 +1,178 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+  {"metric": "bench_total", "value": <total sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "throughput": {...rows or URLs per sec...}}
+
+--scaling: runs the same bench twice in fresh subprocesses
+(num_cpus=8 then 32), reports both and the scaling efficiency
+(T8/T32)/4 — the sandbox realization of the north rule's N vs 4N
+cluster criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/warcit_ray_bench"
+
+
+def _sf() -> float:
+    try:
+        return float(os.path.basename(os.path.normpath(SF_DIR)).replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _corpus(n: int):
+    """Pre-generate (and cache) the synthetic image corpus so the bench
+    times the engine, not driver-side image synthesis."""
+    import pyarrow.dataset as pads
+
+    from warcit_ray.sources.synth import write_image_table
+
+    path = os.path.join(SCRATCH, "corpus_n%d" % n)
+    write_image_table(path, n)
+    return path, pads.dataset(path).to_table()
+
+
+def bench_crawl(results: dict, thr: dict) -> None:
+    from warcit_ray.pipelines.crawl import WebGraph, crawl
+
+    n = max(200, int(4000 * _sf() * 10))
+    _, corpus = _corpus(n)
+    graph = WebGraph(n, n_hosts=97, fanout=6)
+    ck = os.path.join(SCRATCH, "crawl_ck")
+    shutil.rmtree(ck, ignore_errors=True)
+    t = time.time()
+    res = crawl(corpus, graph=graph, n_seeds=64, max_generations=25,
+                num_seen_shards=8, num_host_shards=8,
+                rate=4.0, capacity=8.0, checkpoint_dir=ck,
+                batch_size=8192)
+    dt = time.time() - t
+    results["crawl"] = round(dt, 3)
+    thr["crawl_urls_per_sec"] = round(res["admitted"] / dt, 1)
+    thr["crawl_urls"] = res["admitted"]
+
+
+def bench_warc_build(results: dict, thr: dict) -> None:
+    """documents -> WARC-equivalent rows (digest + escape + mime) ->
+    parquet. Records/s is the reference-comparable number."""
+    import ray.data as rd
+
+    from warcit_ray.pipelines.queries import _warc_docs_table
+
+    out_dir = os.path.join(SCRATCH, "warc_rows")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t = time.time()
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(lambda b: _warc_docs_table(b, True), batch_format="pyarrow")
+    ds.write_parquet(out_dir)
+    n = ds.count()
+    dt = time.time() - t
+    results["warc_build"] = round(dt, 3)
+    thr["warc_records_per_sec"] = round(n / dt, 1)
+
+
+def bench_queries(results: dict) -> None:
+    from warcit_ray.pipelines import queries as q
+
+    for name, fn in [
+        ("q1_pricing_summary", q.q1_pricing_summary),
+        ("q3_top_orders", q.q3_top_orders),
+        ("events_hourly", q.events_hourly),
+        ("dedup_exact", q.dedup_exact),
+        ("token_counts", q.token_counts),
+        ("embedding_topk", q.embedding_topk),
+        ("minhash_dedup", q.minhash_dedup),
+        ("image_transcode", q.image_transcode),
+    ]:
+        t = time.time()
+        fn(SF_DIR)
+        results[name] = round(time.time() - t, 3)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    # warm the page cache so both scaling runs measure compute, not disk
+    for f in os.listdir(SF_DIR):
+        with open(os.path.join(SF_DIR, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    results: dict = {}
+    thr: dict = {}
+    t0 = time.time()
+    bench_warc_build(results, thr)
+    bench_crawl(results, thr)
+    bench_queries(results)
+    total = round(time.time() - t0, 3)
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "throughput": thr,
+        "sf": _sf(),
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_%d" % lo: r_lo["value"],
+        "sec_%d" % hi: r_hi["value"],
+        "queries_%d" % lo: r_lo["queries"],
+        "queries_%d" % hi: r_hi["queries"],
+        "throughput_%d" % lo: r_lo["throughput"],
+        "throughput_%d" % hi: r_hi["throughput"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

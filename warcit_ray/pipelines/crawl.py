@@ -117,82 +117,71 @@ def host_shard_of(host: str, num_shards: int, salt: int = 0) -> int:
 # Stages
 # ---------------------------------------------------------------------------
 
-class SeenProbe:
-    """map_batches stage: canonicalize -> hash -> sharded add_if_absent.
+def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
+    """Stateless-task stage: canonicalize -> hash -> sharded
+    add_if_absent. Batch-level pre-dedup (np.unique) runs before any
+    actor round-trip (skew guard: a hot URL costs one probe); per-shard
+    probes go out concurrently (one ray.get on the set). Plain tasks,
+    not an actor pool: there is no per-batch state to amortize, and the
+    generation loop would otherwise pay actor startup every tick."""
+    import ray
 
-    Batch-level pre-dedup (np.unique) runs before any actor round-trip;
-    per-shard probes go out concurrently (one ray.get on the set)."""
-
-    def __init__(self, seen_actors):
-        self.seen = seen_actors
-        self.n = len(seen_actors)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
-        urls = batch.column("url").to_pylist()
-        if not urls:
-            return batch
-        surts = [surt(u) for u in urls]
-        hashes = surt_hash64_batch(surts)
-        # batch-local dedup first (skew guard: a hot URL costs one probe)
-        uniq, inverse = np.unique(hashes, return_inverse=True)
-        first_of = np.zeros(len(uniq), dtype=np.int64)
-        seen_pos = {}
-        for pos, inv in enumerate(inverse):
-            if inv not in seen_pos:
-                seen_pos[inv] = pos
-                first_of[inv] = pos
-        shard = (uniq % np.uint64(self.n)).astype(np.int64)
-        refs, idxs = [], []
-        for s in range(self.n):
-            sel = np.nonzero(shard == s)[0]
-            if len(sel):
-                refs.append(self.seen[s].add_if_absent.remote(uniq[sel]))
-                idxs.append(sel)
-        added_uniq = np.zeros(len(uniq), dtype=bool)
-        for ref, sel in zip(ray.get(refs), idxs):
-            added_uniq[sel] = ref
-        keep = np.zeros(len(urls), dtype=bool)
-        # a row survives iff its hash is new AND it is the first
-        # occurrence of that hash in this batch
-        for i, inv in enumerate(inverse):
-            keep[i] = added_uniq[inv] and (first_of[inv] == i)
-        return batch.filter(pa.array(keep))
+    urls = batch.column("url").to_pylist()
+    if not urls:
+        return batch
+    n = len(seen_actors)
+    surts = [surt(u) for u in urls]
+    hashes = surt_hash64_batch(surts)
+    uniq, inverse = np.unique(hashes, return_inverse=True)
+    first_of = np.full(len(uniq), -1, dtype=np.int64)
+    for pos, inv in enumerate(inverse):
+        if first_of[inv] < 0:
+            first_of[inv] = pos
+    shard = (uniq % np.uint64(n)).astype(np.int64)
+    refs, idxs = [], []
+    for s in range(n):
+        sel = np.nonzero(shard == s)[0]
+        if len(sel):
+            refs.append(seen_actors[s].add_if_absent.remote(uniq[sel]))
+            idxs.append(sel)
+    added_uniq = np.zeros(len(uniq), dtype=bool)
+    for ref, sel in zip(ray.get(refs), idxs):
+        added_uniq[sel] = ref
+    keep = np.zeros(len(urls), dtype=bool)
+    # a row survives iff its hash is new AND it is the first
+    # occurrence of that hash in this batch
+    for i, inv in enumerate(inverse):
+        keep[i] = added_uniq[inv] and (first_of[inv] == i)
+    return batch.filter(pa.array(keep))
 
 
-class OfferStage:
-    """map_batches stage: route new URLs to their HostShard actors."""
+def offer_batch(batch: pa.Table, host_actors) -> pa.Table:
+    """Stateless-task stage: route new URLs to their HostShard actors."""
+    import ray
 
-    def __init__(self, host_actors):
-        self.host_actors = host_actors
-        self.n = len(host_actors)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import ray
-
-        urls = batch.column("url").to_pylist()
-        if not urls:
-            return pa.table({"offered": pa.array([], type=pa.int64())})
-        hosts = [surt_host(u) for u in urls]
-        pris = batch.column("priority").to_pylist()
-        seqs = batch.column("seq").to_pylist()
-        keys = batch.column("payload_key").to_pylist()
-        depths = batch.column("depth").to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        for i, h in enumerate(hosts):
-            by_shard.setdefault(host_shard_of(h, self.n), []).append(i)
-        refs = []
-        for s, rows in by_shard.items():
-            refs.append(
-                self.host_actors[s].offer.remote(
-                    [hosts[i] for i in rows], [urls[i] for i in rows],
-                    [pris[i] for i in rows], [seqs[i] for i in rows],
-                    [keys[i] for i in rows], [depths[i] for i in rows],
-                )
+    urls = batch.column("url").to_pylist()
+    if not urls:
+        return pa.table({"offered": pa.array([], type=pa.int64())})
+    n = len(host_actors)
+    hosts = [surt_host(u) for u in urls]
+    pris = batch.column("priority").to_pylist()
+    seqs = batch.column("seq").to_pylist()
+    keys = batch.column("payload_key").to_pylist()
+    depths = batch.column("depth").to_pylist()
+    by_shard: dict[int, list[int]] = {}
+    for i, h in enumerate(hosts):
+        by_shard.setdefault(host_shard_of(h, n), []).append(i)
+    refs = []
+    for s, rows in by_shard.items():
+        refs.append(
+            host_actors[s].offer.remote(
+                [hosts[i] for i in rows], [urls[i] for i in rows],
+                [pris[i] for i in rows], [seqs[i] for i in rows],
+                [keys[i] for i in rows], [depths[i] for i in rows],
             )
-        offered = sum(ray.get(refs))
-        return pa.table({"offered": pa.array([offered], type=pa.int64())})
+        )
+    offered = sum(ray.get(refs))
+    return pa.table({"offered": pa.array([offered], type=pa.int64())})
 
 
 CRAWL_RECORD_FIELDS = [
@@ -202,55 +191,67 @@ CRAWL_RECORD_FIELDS = [
 ]
 
 
-class FetchStage:
-    """Actor-pool fetch/convert: admitted URL -> corpus row -> WARC
-    resource row + discovered links. Corpus ref resolved ONCE per actor."""
+# worker-process cache: the broadcast corpus is deserialized once per
+# worker process, not once per task (the ray.put'd dict is reused by
+# every fetch task scheduled on that worker)
+_CORPUS_CACHE: dict = {}
 
-    def __init__(self, corpus_ref, graph: WebGraph, clock_iso: str):
-        import ray
 
-        corpus = ray.get(corpus_ref) if not isinstance(corpus_ref, dict) else corpus_ref
-        self.corpus = corpus  # image_id -> (bytes, fmt, caption)
-        self.graph = graph
-        self.clock = clock_iso
+def _resolve_corpus(corpus_ref):
+    if isinstance(corpus_ref, dict):
+        return corpus_ref
+    import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        out = {f: [] for f in CRAWL_RECORD_FIELDS}
-        for row in batch.to_pylist():
-            idx = self.graph.idx_of(row["url"])
-            image_id = "img%08d" % idx
-            payload, fmt, caption = self.corpus.get(image_id, (b"", "", ""))
-            digest = sha1_b32(payload)
-            out["generation"].append(row["generation"])
-            out["seq"].append(row["seq"])
-            out["record_type"].append("resource")
-            out["target_uri"].append(row["url"])
-            out["host"].append(row["host"])
-            out["warc_date"].append(self.clock)
-            out["content_type"].append(MIME_BY_FMT.get(fmt, "application/octet-stream"))
-            out["payload"].append(payload)
-            out["content_length"].append(len(payload))
-            out["payload_digest"].append(digest)
-            out["record_id"].append(
-                record_id(row["url"], self.clock, digest, "resource", row["seq"])
-            )
-            out["image_id"].append(image_id)
-            out["fmt"].append(fmt)
-            out["caption"].append(caption)
-            out["links"].append(self.graph.links(idx))
-        schema = pa.schema(
-            [
-                pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
-                pa.field("record_type", pa.string()), pa.field("target_uri", pa.string()),
-                pa.field("host", pa.string()), pa.field("warc_date", pa.string()),
-                pa.field("content_type", pa.string()), pa.field("payload", pa.binary()),
-                pa.field("content_length", pa.int64()), pa.field("payload_digest", pa.string()),
-                pa.field("record_id", pa.string()), pa.field("image_id", pa.string()),
-                pa.field("fmt", pa.string()), pa.field("caption", pa.string()),
-                pa.field("links", pa.list_(pa.string())),
-            ]
+    key = corpus_ref.hex()
+    corpus = _CORPUS_CACHE.get(key)
+    if corpus is None:
+        _CORPUS_CACHE.clear()
+        corpus = ray.get(corpus_ref)
+        _CORPUS_CACHE[key] = corpus
+    return corpus
+
+
+def fetch_batch(batch: pa.Table, corpus_ref, graph: WebGraph,
+                clock_iso: str) -> pa.Table:
+    """Stateless-task fetch/convert: admitted URL -> corpus row -> WARC
+    resource row + discovered links."""
+    corpus = _resolve_corpus(corpus_ref)
+    out = {f: [] for f in CRAWL_RECORD_FIELDS}
+    for row in batch.to_pylist():
+        idx = graph.idx_of(row["url"])
+        image_id = "img%08d" % idx
+        payload, fmt, caption = corpus.get(image_id, (b"", "", ""))
+        digest = sha1_b32(payload)
+        out["generation"].append(row["generation"])
+        out["seq"].append(row["seq"])
+        out["record_type"].append("resource")
+        out["target_uri"].append(row["url"])
+        out["host"].append(row["host"])
+        out["warc_date"].append(clock_iso)
+        out["content_type"].append(MIME_BY_FMT.get(fmt, "application/octet-stream"))
+        out["payload"].append(payload)
+        out["content_length"].append(len(payload))
+        out["payload_digest"].append(digest)
+        out["record_id"].append(
+            record_id(row["url"], clock_iso, digest, "resource", row["seq"])
         )
-        return pa.table(out, schema=schema)
+        out["image_id"].append(image_id)
+        out["fmt"].append(fmt)
+        out["caption"].append(caption)
+        out["links"].append(graph.links(idx))
+    schema = pa.schema(
+        [
+            pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
+            pa.field("record_type", pa.string()), pa.field("target_uri", pa.string()),
+            pa.field("host", pa.string()), pa.field("warc_date", pa.string()),
+            pa.field("content_type", pa.string()), pa.field("payload", pa.binary()),
+            pa.field("content_length", pa.int64()), pa.field("payload_digest", pa.string()),
+            pa.field("record_id", pa.string()), pa.field("image_id", pa.string()),
+            pa.field("fmt", pa.string()), pa.field("caption", pa.string()),
+            pa.field("links", pa.list_(pa.string())),
+        ]
+    )
+    return pa.table(out, schema=schema)
 
 
 def explode_links(batch: pa.Table, graph: WebGraph) -> pa.Table:
@@ -431,12 +432,10 @@ def crawl(
         if frontier is not None and frontier.num_rows:
             fds = rd.from_arrow(frontier)
             offered = (
-                fds.map_batches(SeenProbe, fn_constructor_args=(seen_actors,),
-                                batch_size=batch_size, batch_format="pyarrow",
-                                concurrency=2)
-                .map_batches(OfferStage, fn_constructor_args=(host_actors,),
-                             batch_size=batch_size, batch_format="pyarrow",
-                             concurrency=2)
+                fds.map_batches(seen_probe_batch, fn_args=(seen_actors,),
+                                batch_size=batch_size, batch_format="pyarrow")
+                .map_batches(offer_batch, fn_args=(host_actors,),
+                             batch_size=batch_size, batch_format="pyarrow")
                 .to_pandas()
             )
             totals["offered"] += int(offered["offered"].sum()) if len(offered) else 0
@@ -475,10 +474,9 @@ def crawl(
         next_frontier = None
         if n_admitted:
             records_ds = rd.from_arrow(admitted).map_batches(
-                FetchStage,
-                fn_constructor_args=(corpus_ref, graph, clock_iso),
+                fetch_batch,
+                fn_args=(corpus_ref, graph, clock_iso),
                 batch_size=256, batch_format="pyarrow",
-                concurrency=fetch_concurrency,
             ).materialize()
             link_tables = [
                 explode_links(b, graph)

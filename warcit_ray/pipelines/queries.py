@@ -1,0 +1,581 @@
+"""Query implementations backing __ray_entry__.queries().
+
+Every function takes ``sf_dir`` (a directory of the driver's parquet
+tables) and returns a small result (pandas DataFrame / pyarrow Table /
+Dataset). Each SQL-checkable query names its computed columns to match
+the oracle SQL in __ray_entry__.oracle_sql() exactly.
+
+Scale notes are attached per query: reads prune columns, aggregations
+pre-combine per batch before the one shuffle, joins broadcast the small
+side, and float outputs are rounded identically on both sides so the
+value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, name + ".parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational coverage (aggregate / join / sort / limit over the TPC-H-ish data)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregation with per-batch pre-combine: revenue computed
+    vectorized, the groupby shuffles only (flag,status) partials."""
+    from ray.data.aggregate import Count, Sum
+
+    cutoff = pd.Timestamp("1998-09-02")
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+              "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.select(["l_returnflag", "l_linestatus", "l_quantity",
+                         "l_extendedprice"]).append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base"),
+            Sum("disc_price", alias_name="sum_disc"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base", "sum_disc"):
+        out[c] = out[c].astype("float64").round(2)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast semi-join (BUILDING customers -> orders) + broadcast
+    hash join (order dates), revenue aggregated from lineitem, top 10.
+    Small sides ship once via closure capture of driver-built sets."""
+    from ray.data.aggregate import Sum
+
+    cutoff = pd.Timestamp("1995-03-15")
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    build_keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    orders = orders[(orders["o_custkey"].isin(build_keys)) & (orders["o_orderdate"] < cutoff)]
+    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
+    okeys = frozenset(odate)
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(list(okeys), type=pa.int64()))
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return t.select(["l_orderkey"]).append_column("rev", rev)
+
+    agg = (
+        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+        .to_pandas()
+    )
+    agg["revenue"] = agg["revenue"].astype("float64").round(2)
+    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
+    agg["o_orderdate"] = agg["o_orderkey"].map(odate)
+    agg = agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return agg[["o_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    """orders grouped, customer names broadcast-joined, top 10."""
+    from ray.data.aggregate import Count, Sum
+
+    agg = (
+        _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spend"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    names = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
+    name_of = dict(zip(names["c_custkey"], names["c_name"]))
+    agg["c_name"] = agg["o_custkey"].map(name_of)
+    agg["total_spend"] = agg["total_spend"].astype("float64").round(2)
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    agg = agg.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(10)
+    return agg.rename(columns={"o_custkey": "c_custkey"})[
+        ["c_custkey", "c_name", "total_spend", "n_orders"]
+    ].reset_index(drop=True)
+
+
+def events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Stream-shaped table: tumbling 1-hour windows as a grouped
+    aggregate on the truncated timestamp (the Ray-Data window idiom)."""
+    from ray.data.aggregate import Count, Sum
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df[["event_type", "hour", "value"]]
+
+    out = (
+        _rp(sf_dir, "events", ["ts", "event_type", "value"])
+        .map_batches(prep, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].astype("float64").round(4)
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def lang_stats(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        _rp(sf_dir, "documents", ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
+        .to_pandas()
+    )
+    out["avg_chars"] = out["avg_chars"].astype("float64").round(4)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# warcit-semantics operators (SQL-checkable projections)
+# ---------------------------------------------------------------------------
+
+def url_escape(sf_dir: str) -> pd.DataFrame:
+    """M1 escaping (base.py:106-109) over deterministic paths derived
+    from documents: 'src/doc#<id> v1,x.txt' exercises '#', ' ' and ','."""
+    from ..functions.urls import escape_path_array
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.string())
+        path = pc.binary_join_element_wise(
+            t["source"], pc.binary_join_element_wise(
+                pa.scalar("doc#"), ids, pa.scalar(" v1,x.txt"), ""), "/")
+        url = escape_path_array(path, "http://docs.example/")
+        return pa.table({"doc_id": t["doc_id"], "url": url})
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "source"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+EXTS = [".html", ".css", ".js", ".png", ".ico"]
+MIME_OF_EXT = {
+    ".html": "text/html", ".css": "text/css", ".js": "text/javascript",
+    ".png": "image/png", ".ico": "image/x-icon",
+}
+
+
+def mime_by_extension(sf_dir: str) -> pd.DataFrame:
+    """M4 filename mode (warcit.py:633-636) over derived filenames."""
+    from ..functions.mime import guess_mime_filename_batch
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls = ["http://docs.example/f%d%s" % (i, EXTS[i % 5]) for i in ids]
+        mimes = [m or "text/html" for m in guess_mime_filename_batch(urls)]
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": pa.array(urls, type=pa.string()),
+                         "mime": pa.array(mimes, type=pa.string())})
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def include_exclude(sf_dir: str) -> pd.DataFrame:
+    """M2 truth table (warcit.py:466-476): include '*.html', exclude
+    '*.js','*.png' over the derived filenames."""
+    from ..functions.filters import IncludeExclude
+
+    filt = IncludeExclude(["*.html"], ["*.js", "*.png"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls = ["http://docs.example/f%d%s" % (i, EXTS[i % 5]) for i in ids]
+        keep = filt.mask(urls)
+        return pa.table({"doc_id": t["doc_id"],
+                         "kept": pa.array(keep, type=pa.bool_())})
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def iso_timestamps(sf_dir: str) -> pd.DataFrame:
+    """M6 ISO-8601Z rendering (warcit.py:501) of event timestamps."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "warc_date": df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ"),
+        })
+
+    return (
+        _rp(sf_dir, "events", ["event_id", "ts"])
+        .map_batches(f, batch_format="pandas")
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+
+
+def revisit_expansion(sf_dir: str) -> pd.DataFrame:
+    """M8 auto-index expansion (warcit.py:542-566): docs with
+    doc_id%10==0 are 'index pages'; each emits resource + revisit rows."""
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_id, out_type, out_uri = [], [], []
+        for i in ids:
+            url = "http://docs.example/src%d/index.html" % i
+            out_id.append(i); out_type.append("resource"); out_uri.append(url)
+            if i % 10 == 0:
+                out_id.append(i); out_type.append("revisit")
+                out_uri.append(url.rsplit("/", 1)[0] + "/")
+        return pa.table({"doc_id": pa.array(out_id, type=pa.int64()),
+                         "record_type": pa.array(out_type, type=pa.string()),
+                         "target_uri": pa.array(out_uri, type=pa.string())})
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values(["doc_id", "record_type"]).reset_index(drop=True)
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops
+# ---------------------------------------------------------------------------
+
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(_rp(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out["keep_id"] = out["keep_id"].astype("int64")
+    out["n_dups"] = out["n_dups"].astype("int64")
+    return out.sort_values("text_md5").reset_index(drop=True)
+
+
+def token_counts(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import token_count_batch
+
+    out = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda t: token_count_batch(t).select(["doc_id", "ws_tokens"]),
+                     batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    out["ws_tokens"] = out["ws_tokens"].astype("int64")
+    return out
+
+
+def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame:
+    """Brute-force cosine top-k; float64 math and 6-dp rounding match
+    the DuckDB oracle."""
+    from ..stages.similarity import brute_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.to_pandas().sort_values("vec_id").head(n_queries)
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = brute_topk(emb, queries, k=k, dtype=np.float64)
+    for c in ("query_id", "vec_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["query_id", "vec_id", "rank"]].reset_index(drop=True)
+
+
+def lang_id(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import LangId
+
+    out = (
+        _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    return out[["doc_id", "lang", "pred_lang"]]
+
+
+def quality_scores(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import quality_score_batch
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(quality_score_batch, batch_format="pandas")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)[
+            ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality"]
+        ]
+    )
+
+
+def fingerprints(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import fingerprint_batch
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda t: fingerprint_batch(t).select(["doc_id", "fingerprint"]),
+                     batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _docs_with_near_dups(sf_dir: str):
+    """documents + deterministic perturbed copies of the first 20 docs
+    (one token changed, doc_id += 1_000_000) so near-dup operators have
+    true positives to find at any scale."""
+    import ray.data as rd
+
+    base = _rp(sf_dir, "documents", ["doc_id", "text"])
+    head = base.to_pandas().sort_values("doc_id").head(20)
+    pert = head.copy()
+    pert["doc_id"] = pert["doc_id"] + 1_000_000
+    pert["text"] = pert["text"].map(
+        lambda t: " ".join(["ZZZ"] + t.split()[1:]) if t else t
+    )
+    return base.union(rd.from_pandas(pert))
+
+
+def minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import minhash_lsh_dedup
+
+    dup, _ = minhash_lsh_dedup(_docs_with_near_dups(sf_dir), threshold=0.5)
+    df = dup.to_pandas()
+    if len(df) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_of": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(_docs_with_near_dups(sf_dir), max_hamming=6)
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import embedding_near_dups
+
+    import ray.data as rd
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # deterministic near-dups: tiny perturbations of the first 10 vectors
+    head = emb.to_pandas().sort_values("vec_id").head(10)
+    pert = head.copy()
+    pert["vec_id"] = pert["vec_id"] + 1_000_000
+    pert["embedding"] = pert["embedding"].map(
+        lambda v: (np.asarray(v, dtype=np.float32) * 1.001 + 1e-4).tolist()
+    )
+    ds = emb.union(rd.from_pandas(pert))
+    pairs = embedding_near_dups(ds, threshold=0.98)
+    pairs = pairs[["id_a", "id_b"]].astype("int64")
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def ann_ivf(sf_dir: str) -> pd.DataFrame:
+    from ..stages.similarity import ivf_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.to_pandas().sort_values("vec_id").head(5)
+    queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
+    out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=3)
+    return out[["query_id", "vec_id", "rank"]].astype("int64").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# warc/crawl/image pipelines (rows-only checks)
+# ---------------------------------------------------------------------------
+
+def _scale_n(sf_dir: str, per_unit: int = 4000) -> int:
+    """Corpus size proportional to the sf directory's scale."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(name.replace("sf", ""))
+    except ValueError:
+        sf = 0.01
+    return max(60, int(per_unit * sf * 10))
+
+
+def _corpus_for(sf_dir: str, n: int | None = None) -> "pa.Table":
+    from ..sources.synth import make_image_table
+
+    return make_image_table(n or _scale_n(sf_dir))
+
+
+def _warc_docs_table(t: pa.Table, with_digest: bool) -> pa.Table:
+    from ..functions.digests import sha1_b32
+
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    urls = ["http://docs.example/doc/%d.txt" % i for i in ids]
+    payloads = [(x or "").encode("utf-8") for x in texts]
+    cols = {
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "target_uri": pa.array(urls, type=pa.string()),
+        "content_type": pa.array(["text/plain"] * len(ids), type=pa.string()),
+        "content_length": pa.array([len(p) for p in payloads], type=pa.int64()),
+    }
+    if with_digest:
+        cols["payload_digest"] = pa.array([sha1_b32(p) for p in payloads],
+                                          type=pa.string())
+    return pa.table(cols)
+
+
+def warc_build_docs(sf_dir: str) -> pd.DataFrame:
+    """WARC-equivalent resource rows over the documents table (payload =
+    text bytes): url + mime + lengths (M7 projection, SQL-checkable)."""
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda t: _warc_docs_table(t, False), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def warc_digests(sf_dir: str) -> pd.DataFrame:
+    """Same rows WITH the SHA-1/base32 payload digests (rows-only check;
+    digest correctness is unit-tested against the warcio format)."""
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(lambda t: _warc_docs_table(t, True), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def crawl_demo(sf_dir: str) -> pd.DataFrame:
+    """The frontier+fetch scheduler over a deterministic synthetic
+    image corpus (input_hint schema), sized to the sf directory."""
+    import tempfile
+
+    from .crawl import WebGraph, crawl
+
+    corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 400))
+    graph = WebGraph(corpus.num_rows)
+    with tempfile.TemporaryDirectory() as ck:
+        res = crawl(corpus, graph=graph, n_seeds=8, max_generations=12,
+                    num_seen_shards=2, num_host_shards=2, checkpoint_dir=ck)
+    rows = pd.DataFrame(res["visit_log"], columns=["generation", "host", "url"])
+    return rows.sort_values(["generation", "host", "url"]).reset_index(drop=True)
+
+
+def image_transcode(sf_dir: str) -> pd.DataFrame:
+    """Decode/re-encode the synthetic image corpus (fmt -> png),
+    verifying the decoded-pixel invariant per row (the multimodal
+    actor-pool stage shape)."""
+    import ray.data as rd
+
+    from ..codecs import decode, encode, psnr
+
+    corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 200))
+
+    def f(t: pa.Table) -> pa.Table:
+        out = {"image_id": [], "src_fmt": [], "ok": [], "out_len": [], "psnr_ok": []}
+        for row in t.to_pylist():
+            try:
+                img = decode(row["bytes"], row["fmt"])
+                png = encode(img, "png")
+                back = decode(png, "png")
+                p = psnr(img, back)
+                out["ok"].append(True)
+                out["out_len"].append(len(png))
+                out["psnr_ok"].append(bool(p == float("inf") or p >= 40.0))
+            except Exception:
+                out["ok"].append(False)
+                out["out_len"].append(0)
+                out["psnr_ok"].append(False)
+            out["image_id"].append(row["image_id"])
+            out["src_fmt"].append(row["fmt"])
+        return pa.table(out)
+
+    return (
+        rd.from_arrow(corpus)
+        .map_batches(f, batch_size=32, batch_format="pyarrow", concurrency=2)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+
+
+def phash_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Image near-dup by perceptual-hash hamming distance, bucketed on
+    16-bit phash chunks (same banding idea as simhash)."""
+    import ray.data as rd
+
+    from ..stages.dedup import hamming64
+
+    from ..codecs import decode, encode, phash64
+
+    corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 200))
+    base = corpus.select(["image_id", "phash"]).to_pandas()
+    # plant near-dups: lossy re-encodes of the first 10 images (their
+    # phash lands within a few bits of the original)
+    planted = []
+    for row in corpus.slice(0, 10).to_pylist():
+        img = decode(row["bytes"], row["fmt"])
+        lossy = decode(encode(img, "dctq", quality=85), "dctq")
+        planted.append({"image_id": "dup" + row["image_id"],
+                        "phash": np.int64(np.uint64(phash64(lossy)).astype(np.int64))})
+    ds = rd.from_pandas(pd.concat([base, pd.DataFrame(planted)], ignore_index=True))
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        ph = t["phash"].to_pylist()
+        rows = {"chunk": [], "chunk_val": [], "image_id": [], "phash": []}
+        for i, p in zip(ids, ph):
+            u = p & ((1 << 64) - 1)
+            for c in range(4):
+                rows["chunk"].append(c)
+                rows["chunk_val"].append((u >> (16 * c)) & 0xFFFF)
+                rows["image_id"].append(i)
+                rows["phash"].append(p)
+        return pa.table(rows)
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("image_id").sort_values("image_id")
+        ids, ph = g["image_id"].tolist(), g["phash"].tolist()
+        a, b, d = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                h = hamming64(ph[x], ph[y])
+                if h <= 6:
+                    a.append(ids[x]); b.append(ids[y]); d.append(h)
+        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+
+    pairs = (
+        ds.map_batches(chunk_rows, batch_format="pyarrow")
+        .groupby(["chunk", "chunk_val"])
+        .map_groups(emit, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
+                             "id_b": pd.Series([], dtype="object"),
+                             "hamming": pd.Series([], dtype="int64")})
+    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

@@ -148,7 +148,7 @@ def jaccard(a: set, b: set) -> float:
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.8,
-                      id_col: str = "doc_id", concurrency: int = 4):
+                      id_col: str = "doc_id", concurrency: int = 2):
     """Full near-dup pipeline -> Dataset(doc_id, dup_of) for docs whose
     verified Jaccard >= threshold with a lower-id doc.
 
@@ -183,15 +183,18 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
     pairs = pairs.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
 
     # verify with exact shingle jaccard (texts fetched for the candidate
-    # ids only — candidates are a tiny fraction of the corpus)
+    # ids only — candidates are a tiny fraction of the corpus, so the
+    # fetch is a broadcast-set semi-join filter inside map_batches)
     cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    texts = {
-        r[id_col]: r["text"]
-        for r in ds.map_batches(
-            lambda b: b.select([id_col, "text"]), batch_format="pyarrow"
-        ).iter_rows()
-        if r[id_col] in cand_ids
-    }
+    cand_arr = pa.array(sorted(cand_ids), type=pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.select([id_col, "text"]).filter(pc.is_in(b[id_col], value_set=cand_arr))
+
+    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    texts = dict(zip(picked[id_col], picked["text"]))
     mh = MinHasher(num_perm, shingle_k)
     sh_cache = {i: set(mh.shingles(texts[i]).tolist()) for i in cand_ids}
     keep = []
@@ -263,7 +266,7 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
-                      concurrency: int = 4) -> pd.DataFrame:
+                      concurrency: int = 2) -> pd.DataFrame:
     """Candidates via 4x16-bit chunk banding (any hamming<=3 pair shares
     at least one exact chunk by pigeonhole), verified by popcount."""
     with_sig = ds.map_batches(SimHasher, batch_format="pyarrow",

@@ -1,13 +1,19 @@
 """Similarity search over embedding columns (list<float>).
 
 - :func:`brute_topk` — exact cosine top-k: every batch does one numpy
-  matmul against the BROADCAST query matrix (ray.put once, resolved in
-  each actor's __init__), emits its batch-local top-k, and a single
-  small groupby(query_id) reduces to the global top-k. The full vector
-  table never shuffles; only (query, candidate, score) triples do.
+  matmul against the BROADCAST query matrix (ray.put once; each worker
+  process resolves and caches it once), emits its batch-local top-k,
+  and a single small groupby(query_id) reduces to the global top-k.
+  The full vector table never shuffles; only (query, candidate, score)
+  triples do.
 - :func:`ivf_topk` — the scale path: k-means-lite centroids (sampled,
   driver-side numpy), vectors assigned to their nearest centroid once
   (a partitioning key!), queries probe only ``nprobe`` nearest lists.
+
+Both run as stateless tasks, not actor pools: the only per-stage state
+is the broadcast matrix, which the worker-process cache amortizes just
+as well — and a task stage can never deadlock a small CPU budget the
+way a min-size actor pool feeding an all-to-all can.
 """
 
 from __future__ import annotations
@@ -16,9 +22,27 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# broadcast objects resolved once per worker process (not once per task)
+_BCAST_CACHE: dict = {}
 
-def _as_matrix(col) -> np.ndarray:
-    return np.asarray(col.to_pylist(), dtype=np.float32)
+
+def _resolve(ref):
+    if not hasattr(ref, "hex"):
+        return ref
+    import ray
+
+    key = ref.hex()
+    val = _BCAST_CACHE.get(key)
+    if val is None:
+        if len(_BCAST_CACHE) > 8:
+            _BCAST_CACHE.clear()
+        val = ray.get(ref)
+        _BCAST_CACHE[key] = val
+    return val
+
+
+def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=dtype)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -27,56 +51,57 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-class BatchTopK:
-    """Actor-pool stage: batch-local exact top-k vs broadcast queries."""
-
-    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
-        import ray
-
-        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
-        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, dim)
-        self.k = k
-        self.id_col = id_col
-        self.vec_col = vec_col
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
-        vecs = _normalize(_as_matrix(batch.column(self.vec_col)))
-        sims = self.q @ vecs.T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        nq = sims.shape[0]
-        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
-        vid = ids[top.ravel()]
-        score = sims[np.arange(nq)[:, None], top].ravel()
-        return pa.table(
-            {
-                "query_id": pa.array(qid),
-                "vec_id": pa.array(vid),
-                "score": pa.array(score.astype(np.float64)),
-            }
-        )
-
-
-def brute_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
-               vec_col: str = "embedding", concurrency: int = 4) -> pd.DataFrame:
-    """-> DataFrame(query_id, vec_id, score, rank), global exact top-k."""
-    import ray
-
-    q_ref = ray.put(np.asarray(queries, dtype=np.float32))
-    partials = ds.map_batches(
-        BatchTopK, fn_constructor_args=(q_ref, k, id_col, vec_col),
-        batch_format="pyarrow", concurrency=concurrency,
+def _batch_topk(batch: pa.Table, q_ref, k: int, id_col: str, vec_col: str,
+                dtype) -> pa.Table:
+    """Batch-local exact top-k vs the broadcast (pre-normalized) queries."""
+    q = _resolve(q_ref)
+    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    vecs = _normalize(_as_matrix(batch.column(vec_col), dtype))
+    sims = q @ vecs.T  # (nq, nb)
+    k = min(k, sims.shape[1])
+    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    nq = sims.shape[0]
+    qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+    vid = ids[top.ravel()]
+    score = sims[np.arange(nq)[:, None], top].ravel()
+    return pa.table(
+        {
+            "query_id": pa.array(qid),
+            "vec_id": pa.array(vid),
+            "score": pa.array(score.astype(np.float64)),
+        }
     )
 
+
+def _reduce_topk_fn(k: int):
     def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
+    return reduce_topk
+
+
+def brute_topk(ds, queries: np.ndarray, k: int = 10, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", dtype=np.float32) -> pd.DataFrame:
+    """-> DataFrame(query_id, vec_id, score, rank), global exact top-k.
+    dtype=float64 when bit-stable ranking vs a float64 oracle matters;
+    float32 (default) halves bandwidth at scale."""
+    import ray
+
+    q_ref = ray.put(_normalize(np.asarray(queries, dtype=dtype)))
+    partials = ds.map_batches(
+        _batch_topk, fn_args=(q_ref, k, id_col, vec_col, dtype),
+        batch_format="pyarrow",
+    )
     return (
-        partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+        partials.groupby("query_id").map_groups(_reduce_topk_fn(k),
+                                                batch_format="pandas")
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
@@ -102,65 +127,61 @@ def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return c
 
 
+def _assign_and_search(batch: pa.Table, c_ref, q: np.ndarray,
+                       probe_lists: list, k: int, id_col: str,
+                       vec_col: str) -> pa.Table:
+    c = _resolve(c_ref)
+    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    if len(ids) == 0:
+        return pa.table({"query_id": pa.array([], type=pa.int64()),
+                         "vec_id": pa.array([], type=pa.int64()),
+                         "score": pa.array([], type=pa.float64())})
+    vecs = _normalize(_as_matrix(batch.column(vec_col)))
+    assign = np.argmax(vecs @ c.T, axis=1)
+    out_q, out_v, out_s = [], [], []
+    for qi, plist in enumerate(probe_lists):
+        mask = np.isin(assign, plist)
+        if not mask.any():
+            continue
+        sims = vecs[mask] @ q[qi]
+        kk = min(k, len(sims))
+        top = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+        out_q.extend([qi] * len(top))
+        out_v.extend(ids[mask][top].tolist())
+        out_s.extend(sims[top].astype(np.float64).tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float64()),
+        }
+    )
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_rows: int = 2048, concurrency: int = 4) -> pd.DataFrame:
+             sample_rows: int = 2048) -> pd.DataFrame:
     """IVF-flat ANN: assign each vector to its centroid (one pass), then
     search only the nprobe closest lists per query. The centroid id is
     the partitioning key a cluster deployment would co-locate on."""
     import ray
 
-    sample = _as_matrix(
-        ds.limit(sample_rows).select_columns([vec_col]).to_pandas()[vec_col]
-    ) if False else np.asarray(
+    sample = np.asarray(
         ds.limit(sample_rows).to_pandas()[vec_col].tolist(), dtype=np.float32
     )
     centroids = kmeans_lite(sample, n_clusters)
     c_ref = ray.put(centroids)
     q = _normalize(np.asarray(queries, dtype=np.float32))
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_sets = [set(row.tolist()) for row in probe]
+    probe_lists = [row.tolist() for row in probe]
 
-    class AssignAndSearch:
-        def __init__(self):
-            self.c = ray.get(c_ref)
-            self.q = q
-            self.probe_sets = probe_sets
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-            vecs = _normalize(_as_matrix(batch.column(vec_col)))
-            assign = np.argmax(vecs @ self.c.T, axis=1)
-            out_q, out_v, out_s = [], [], []
-            for qi, pset in enumerate(self.probe_sets):
-                mask = np.isin(assign, list(pset))
-                if not mask.any():
-                    continue
-                sims = vecs[mask] @ self.q[qi]
-                kk = min(k, len(sims))
-                top = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.extend([qi] * kk)
-                out_v.extend(ids[mask][top].tolist())
-                out_s.extend(sims[top].astype(np.float64).tolist())
-            return pa.table(
-                {
-                    "query_id": pa.array(out_q, type=pa.int64()),
-                    "vec_id": pa.array(out_v, type=pa.int64()),
-                    "score": pa.array(out_s, type=pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(AssignAndSearch, batch_format="pyarrow",
-                              concurrency=concurrency)
-
-    def reduce_topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
+    partials = ds.map_batches(
+        _assign_and_search, fn_args=(c_ref, q, probe_lists, k, id_col, vec_col),
+        batch_format="pyarrow",
+    )
     return (
-        partials.groupby("query_id").map_groups(reduce_topk, batch_format="pandas")
+        partials.groupby("query_id").map_groups(_reduce_topk_fn(k),
+                                                batch_format="pandas")
         .to_pandas()
         .sort_values(["query_id", "rank"])
         .reset_index(drop=True)
