@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": q.q3_top_orders,
         "top_customers": q.top_customers,
         "events_hourly": q.events_hourly,
+        "sessionize_events": q.sessionize_events,
         "lang_stats": q.lang_stats,
         # warcit operator semantics (SURVEY §2: M1, M2, M4, M6, M7, M8)
         "url_escape": q.url_escape,
@@ -116,6 +117,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, date_trunc('hour', ts)
             ORDER BY event_type, hour
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, session_start
         """,
         "lang_stats": """
             SELECT lang, count(*) AS n_docs,

@@ -327,7 +327,12 @@ class CrawlCheckpoint:
         d = self.gen_dir(g)
         os.makedirs(d, exist_ok=True)
         if records_ds is not None:
-            records_ds.write_parquet(os.path.join(d, "records"))
+            rec_dir = os.path.join(d, "records")
+            if isinstance(records_ds, pa.Table):
+                os.makedirs(rec_dir, exist_ok=True)
+                pq.write_table(records_ds, os.path.join(rec_dir, "part-0.parquet"))
+            else:
+                records_ds.write_parquet(rec_dir)
         pq.write_table(admitted, os.path.join(d, "admitted.parquet"))
         if next_frontier is not None and next_frontier.num_rows:
             # links discovered this generation but not yet offered — they
@@ -427,18 +432,36 @@ def crawl(
     totals = {"admitted": 0, "offered": 0, "generations": 0}
     visit_log: list[tuple] = []
 
+    # Hybrid dispatch: a generation whose frontier/admit set is small is
+    # processed with direct calls (same stage functions, same sharded
+    # actors — just without per-generation Ray Data job overhead); large
+    # generations stream through Dataset pipelines. The crossover is
+    # sized so the 10^10-frontier path is always the Dataset one.
+    small_frontier = 32768
+    small_admit = 8192
+    fetch_task = ray.remote(num_cpus=1)(fetch_batch)
+
     for g in range(start_gen, max_generations):
         # --- 1. dedup + offer the current frontier (if any) -------------
         if frontier is not None and frontier.num_rows:
-            fds = rd.from_arrow(frontier)
-            offered = (
-                fds.map_batches(seen_probe_batch, fn_args=(seen_actors,),
-                                batch_size=batch_size, batch_format="pyarrow")
-                .map_batches(offer_batch, fn_args=(host_actors,),
-                             batch_size=batch_size, batch_format="pyarrow")
-                .to_pandas()
-            )
-            totals["offered"] += int(offered["offered"].sum()) if len(offered) else 0
+            if frontier.num_rows <= small_frontier:
+                off = 0
+                for lo in range(0, frontier.num_rows, batch_size):
+                    chunk = frontier.slice(lo, batch_size)
+                    fresh = seen_probe_batch(chunk, seen_actors)
+                    off += int(offer_batch(fresh, host_actors)["offered"][0].as_py()) \
+                        if fresh.num_rows else 0
+                totals["offered"] += off
+            else:
+                fds = rd.from_arrow(frontier)
+                offered = (
+                    fds.map_batches(seen_probe_batch, fn_args=(seen_actors,),
+                                    batch_size=batch_size, batch_format="pyarrow")
+                    .map_batches(offer_batch, fn_args=(host_actors,),
+                                 batch_size=batch_size, batch_format="pyarrow")
+                    .to_pandas()
+                )
+                totals["offered"] += int(offered["offered"].sum()) if len(offered) else 0
         frontier = None
 
         # --- 2. politeness tick: admit per host --------------------------
@@ -470,22 +493,32 @@ def crawl(
             visit_log.append((g, h, u))
 
         # --- 3. fetch + link discovery -----------------------------------
-        records_ds = None
+        records = None  # pa.Table (small path) or Dataset (large path)
         next_frontier = None
         if n_admitted:
-            records_ds = rd.from_arrow(admitted).map_batches(
-                fetch_batch,
-                fn_args=(corpus_ref, graph, clock_iso),
-                batch_size=256, batch_format="pyarrow",
-            ).materialize()
-            link_tables = [
-                explode_links(b, graph)
-                for b in records_ds.select_columns(["links"]).iter_batches(
-                    batch_size=batch_size, batch_format="pyarrow")
-            ]
-            next_frontier = (
-                pa.concat_tables(link_tables) if link_tables else None
-            )
+            if n_admitted <= small_admit:
+                # parallel plain tasks over ~256-row slices
+                refs = [
+                    fetch_task.remote(admitted.slice(lo, 256), corpus_ref,
+                                      graph, clock_iso)
+                    for lo in range(0, n_admitted, 256)
+                ]
+                records = pa.concat_tables(ray.get(refs))
+                next_frontier = explode_links(records, graph)
+            else:
+                records = rd.from_arrow(admitted).map_batches(
+                    fetch_batch,
+                    fn_args=(corpus_ref, graph, clock_iso),
+                    batch_size=256, batch_format="pyarrow",
+                ).materialize()
+                link_tables = [
+                    explode_links(b, graph)
+                    for b in records.select_columns(["links"]).iter_batches(
+                        batch_size=batch_size, batch_format="pyarrow")
+                ]
+                next_frontier = (
+                    pa.concat_tables(link_tables) if link_tables else None
+                )
 
         # --- 4. checkpoint lineage ---------------------------------------
         if ckpt is not None:
@@ -493,7 +526,7 @@ def crawl(
             states = ray.get([a.checkpoint_state.remote() for a in host_actors])
             ckpt.write_generation(
                 g,
-                records_ds=records_ds.drop_columns(["links"]) if records_ds else None,
+                records_ds=records.drop_columns(["links"]) if records is not None else None,
                 admitted=admitted,
                 next_frontier=next_frontier,
                 seen_deltas=deltas,

@@ -21,55 +21,77 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _rp(sf_dir: str, name: str, columns=None):
+def _rp(sf_dir: str, name: str, columns=None, blocks: int | None = None):
+    """read_parquet with column pruning AND block splitting: the
+    driver-generated files are single-row-group, so without
+    override_num_blocks every downstream map would run as ONE task."""
+    import ray
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, name + ".parquet"), columns=columns)
+    path = os.path.join(sf_dir, name + ".parquet")
+    if blocks is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        # ~0.75 MB of file per block, capped by cluster CPUs
+        blocks = max(1, min(2 * cpus, os.path.getsize(path) // 786_432))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
 
 
 # ---------------------------------------------------------------------------
 # relational coverage (aggregate / join / sort / limit over the TPC-H-ish data)
 # ---------------------------------------------------------------------------
 
-def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
-    """Grouped aggregation with per-batch pre-combine: revenue computed
-    vectorized, the groupby shuffles only (flag,status) partials."""
-    from ray.data.aggregate import Count, Sum
+def partial_then_combine(ds, keys: list[str], partial_fn, combine_fn) -> pd.DataFrame:
+    """The grouped-aggregation pattern this engine uses for moderate
+    group cardinality: each batch reduces to (keys, partial-metrics)
+    rows with a VECTORIZED pandas groupby (C speed), and the tiny
+    partials stream to the driver for one final pandas combine.
 
+    Compared to ``Dataset.groupby().aggregate(...)`` this avoids Ray's
+    sort-based shuffle, which at this data shape is dominated by
+    per-group overhead (measured: 3600 groups over 100k rows = 12-70 s
+    native vs <1 s with partials). For HIGH-cardinality keys (exact
+    dedup over billions of hashes) the native groupby remains the right
+    tool — see exact_dedup_groups — because partials stop compressing."""
+    parts = ds.map_batches(partial_fn, batch_format="pandas").to_pandas()
+    return combine_fn(parts)
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregation: vectorized filter+revenue per batch, partial
+    sums per (flag, status), driver combine of ~6-row partials."""
     cutoff = pd.Timestamp("1998-09-02")
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
               "l_discount", "l_shipdate"])
 
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
-        disc = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                         "l_extendedprice"]).append_column("disc_price", disc)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        df = df.assign(disc_price=df["l_extendedprice"] * (1.0 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base=("l_extendedprice", "sum"),
+            sum_disc=("disc_price", "sum"),
+            n=("l_quantity", "size"),
+        ).reset_index()
+        return g
 
-    out = (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base"),
-            Sum("disc_price", alias_name="sum_disc"),
-            Count(alias_name="n"),
-        )
-        .to_pandas()
-    )
-    for c in ("sum_qty", "sum_base", "sum_disc"):
-        out[c] = out[c].astype("float64").round(2)
-    out["n"] = out["n"].astype("int64")
-    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        out = parts.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            sum_qty=("sum_qty", "sum"), sum_base=("sum_base", "sum"),
+            sum_disc=("sum_disc", "sum"), n=("n", "sum"),
+        ).reset_index()
+        for c in ("sum_qty", "sum_base", "sum_disc"):
+            out[c] = out[c].astype("float64").round(2)
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+    return partial_then_combine(ds, ["l_returnflag", "l_linestatus"], partial, combine)
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     """Broadcast semi-join (BUILDING customers -> orders) + broadcast
     hash join (order dates), revenue aggregated from lineitem, top 10.
     Small sides ship once via closure capture of driver-built sets."""
-    from ray.data.aggregate import Sum
-
     cutoff = pd.Timestamp("1995-03-15")
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
     build_keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
@@ -78,20 +100,20 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
     okeys = frozenset(odate)
 
-    def prep(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
-        mask = pc.is_in(t["l_orderkey"], value_set=pa.array(list(okeys), type=pa.int64()))
-        t = t.filter(mask)
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return t.select(["l_orderkey"]).append_column("rev", rev)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] > cutoff) & df["l_orderkey"].isin(okeys)]
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        return (
+            df.assign(rev=rev).groupby("l_orderkey", sort=False)["rev"].sum()
+            .rename("revenue").reset_index()
+        )
 
-    agg = (
+    parts = (
         _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-        .map_batches(prep, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+        .map_batches(partial, batch_format="pandas")
         .to_pandas()
     )
+    agg = parts.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
     agg["revenue"] = agg["revenue"].astype("float64").round(2)
     agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
     agg["o_orderdate"] = agg["o_orderkey"].map(odate)
@@ -100,16 +122,22 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def top_customers(sf_dir: str) -> pd.DataFrame:
-    """orders grouped, customer names broadcast-joined, top 10."""
-    from ray.data.aggregate import Count, Sum
+    """orders grouped (partial sums per batch, driver combine), customer
+    names broadcast-joined, top 10."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_custkey", sort=False).agg(
+            total_spend=("o_totalprice", "sum"),
+            n_orders=("o_totalprice", "size"),
+        ).reset_index()
 
-    agg = (
+    parts = (
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="total_spend"),
-                   Count(alias_name="n_orders"))
+        .map_batches(partial, batch_format="pandas")
         .to_pandas()
     )
+    agg = parts.groupby("o_custkey", sort=False).agg(
+        total_spend=("total_spend", "sum"), n_orders=("n_orders", "sum")
+    ).reset_index()
     names = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
     name_of = dict(zip(names["c_custkey"], names["c_name"]))
     agg["c_name"] = agg["o_custkey"].map(name_of)
@@ -122,39 +150,58 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
 
 
 def events_hourly(sf_dir: str) -> pd.DataFrame:
-    """Stream-shaped table: tumbling 1-hour windows as a grouped
-    aggregate on the truncated timestamp (the Ray-Data window idiom)."""
-    from ray.data.aggregate import Count, Sum
+    """Stream-shaped table: tumbling 1-hour windows — vectorized partial
+    (floor + pandas groupby) per batch, driver combine of the partials
+    (~groups x blocks rows; see partial_then_combine's scale note)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"))
+        return df.groupby(["event_type", "hour"], sort=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        ).reset_index()
 
-    def prep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["hour"] = df["ts"].dt.floor("h")
-        return df[["event_type", "hour", "value"]]
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        out = parts.groupby(["event_type", "hour"], sort=True).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        ).reset_index()
+        out["sum_value"] = out["sum_value"].astype("float64").round(4)
+        out["n"] = out["n"].astype("int64")
+        return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
 
-    out = (
-        _rp(sf_dir, "events", ["ts", "event_type", "value"])
-        .map_batches(prep, batch_format="pandas")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    return partial_then_combine(
+        _rp(sf_dir, "events", ["ts", "event_type", "value"]),
+        ["event_type", "hour"], partial, combine)
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Gap-based sessionization (30-min gap) per user — the streaming
+    window expressed as groupby(user).map_groups over ts-sorted groups."""
+    from ..stages.windows import sessionize
+
+    out = sessionize(
+        _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    ).to_pandas()
     out["sum_value"] = out["sum_value"].astype("float64").round(4)
-    out["n"] = out["n"].astype("int64")
-    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
 
 
 def lang_stats(sf_dir: str) -> pd.DataFrame:
-    from ray.data.aggregate import Count, Mean
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", sort=False).agg(
+            n_docs=("n_chars", "size"), chars=("n_chars", "sum")
+        ).reset_index()
 
-    out = (
-        _rp(sf_dir, "documents", ["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Mean("n_chars", alias_name="avg_chars"))
-        .to_pandas()
-    )
-    out["avg_chars"] = out["avg_chars"].astype("float64").round(4)
-    out["n_docs"] = out["n_docs"].astype("int64")
-    return out.sort_values("lang").reset_index(drop=True)
+    def combine(parts: pd.DataFrame) -> pd.DataFrame:
+        out = parts.groupby("lang", sort=True).agg(
+            n_docs=("n_docs", "sum"), chars=("chars", "sum")
+        ).reset_index()
+        out["avg_chars"] = (out["chars"] / out["n_docs"]).astype("float64").round(4)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out[["lang", "n_docs", "avg_chars"]].sort_values("lang").reset_index(drop=True)
+
+    return partial_then_combine(_rp(sf_dir, "documents", ["lang", "n_chars"]),
+                                ["lang"], partial, combine)
 
 
 # ---------------------------------------------------------------------------
@@ -543,36 +590,34 @@ def phash_near_dup(sf_dir: str) -> pd.DataFrame:
                         "phash": np.int64(np.uint64(phash64(lossy)).astype(np.int64))})
     ds = rd.from_pandas(pd.concat([base, pd.DataFrame(planted)], ignore_index=True))
 
+    from ..stages.dedup import collect_hot_groups
+
     def chunk_rows(t: pa.Table) -> pa.Table:
         ids = t["image_id"].to_pylist()
         ph = t["phash"].to_pylist()
-        rows = {"chunk": [], "chunk_val": [], "image_id": [], "phash": []}
+        rows = {"bkey": [], "image_id": [], "phash": []}
         for i, p in zip(ids, ph):
             u = p & ((1 << 64) - 1)
             for c in range(4):
-                rows["chunk"].append(c)
-                rows["chunk_val"].append((u >> (16 * c)) & 0xFFFF)
+                rows["bkey"].append((((u >> (16 * c)) & 0xFFFF) << 3) | c)
                 rows["image_id"].append(i)
                 rows["phash"].append(p)
         return pa.table(rows)
 
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("image_id").sort_values("image_id")
+    hot = collect_hot_groups(
+        ds.map_batches(chunk_rows, batch_format="pyarrow"), "bkey", "image_id",
+        ["phash"],
+    )
+    a, b, d = [], [], []
+    for _, g in hot.groupby("bkey", sort=False):
+        g = g.drop_duplicates("image_id").sort_values("image_id")
         ids, ph = g["image_id"].tolist(), g["phash"].tolist()
-        a, b, d = [], [], []
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
                 h = hamming64(ph[x], ph[y])
                 if h <= 6:
                     a.append(ids[x]); b.append(ids[y]); d.append(h)
-        return pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
-
-    pairs = (
-        ds.map_batches(chunk_rows, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(emit, batch_format="pandas")
-        .to_pandas()
-    )
+    pairs = pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
                              "id_b": pd.Series([], dtype="object"),

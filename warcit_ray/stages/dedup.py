@@ -76,9 +76,11 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 class MinHasher:
-    """Word-shingle MinHash signatures, vectorized: one 64-bit base hash
-    per shingle, then ``num_perm`` affine permutations in one numpy
-    broadcast. Actor-pool class (permutation table built once)."""
+    """Word-shingle MinHash signatures. Actor-pool class: the
+    permutation table AND a token-hash cache live for the actor's
+    lifetime — each distinct token is blake2b-hashed exactly once per
+    actor; shingle hashes are then a vectorized rolling polynomial over
+    the token-hash array (no per-shingle hashlib calls)."""
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 3, seed: int = 1):
         rng = np.random.default_rng(seed)
@@ -86,26 +88,38 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.k = shingle_k
+        self._tok_cache: dict[str, int] = {}
+
+    def _tok_hash(self, tok: str) -> int:
+        h = self._tok_cache.get(tok)
+        if h is None:
+            if len(self._tok_cache) > 1_000_000:
+                self._tok_cache.clear()
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            self._tok_cache[tok] = h
+        return h
 
     def shingles(self, text: str) -> np.ndarray:
         toks = text.split()
-        if len(toks) < self.k:
-            grams = [" ".join(toks)] if toks else [""]
-        else:
-            grams = [" ".join(toks[i: i + self.k]) for i in range(len(toks) - self.k + 1)]
-        out = np.empty(len(grams), dtype=np.uint64)
-        for i, g in enumerate(grams):
-            out[i] = np.frombuffer(
-                hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), dtype=np.uint64
-            )[0]
-        return np.unique(out)
+        if not toks:
+            return np.empty(0, dtype=np.uint64)
+        th = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
+        k = min(self.k, len(th))
+        # rolling polynomial combine over a sliding window of width k
+        acc = th[: len(th) - k + 1].copy()
+        for j in range(1, k):
+            acc = acc * np.uint64(0x9E3779B97F4A7C15) + th[j: len(th) - k + 1 + j]
+        return np.unique(acc)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
         if len(sh) == 0:
             return np.zeros(self.num_perm, dtype=np.uint64)
         # (num_perm, n_shingles) affine transform mod mersenne, min over shingles
-        v = (self.a[:, None] * sh[None, :] + self.b[:, None]) % _MERSENNE
+        v = (self.a[:, None] * (sh[None, :] & np.uint64(0x1FFFFFFFFFFFFFFF))
+             + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -121,20 +135,18 @@ def lsh_band_rows(batch: pa.Table, num_bands: int = 16,
     that reaches the LSH groupby."""
     ids = batch.column(id_col).to_pylist()
     sigs = batch.column("minhash").to_pylist()
-    out_band, out_hash, out_id = [], [], []
+    out_key, out_id = [], []
     for i, sig in zip(ids, sigs):
         sig = np.asarray(sig, dtype=np.uint64)
         rows_per_band = len(sig) // num_bands
         for b in range(num_bands):
             chunk = sig[b * rows_per_band: (b + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            out_band.append(b)
-            out_hash.append(int.from_bytes(h, "little") >> 1)
+            h = hashlib.blake2b(chunk.tobytes() + bytes([b]), digest_size=8).digest()
+            out_key.append(int.from_bytes(h, "little") >> 1)
             out_id.append(i)
     return pa.table(
         {
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
+            "bkey": pa.array(out_key, type=pa.int64()),
             id_col: pa.array(out_id, type=pa.int64()),
         }
     )
@@ -144,6 +156,35 @@ def jaccard(a: set, b: set) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / max(1, len(a | b))
+
+
+def collect_hot_groups(rows_ds, bkey_col: str, id_col: str,
+                       extra_cols: list[str] | None = None) -> pd.DataFrame:
+    """Two-pass hot-bucket detection for LSH-family candidate generation.
+
+    Collision buckets (>= 2 members) are a tiny fraction of all buckets,
+    so instead of a groupby+map_groups over millions of mostly-singleton
+    groups (measured: dominated by per-group overhead), this does:
+      pass 1: per-batch pandas value_counts -> driver combine -> the
+              small set of hot bucket keys;
+      pass 2: broadcast-set semi-join filter inside map_batches -> only
+              hot-bucket member rows reach the driver.
+    """
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[bkey_col].value_counts()
+        return pd.DataFrame({bkey_col: c.index, "n": c.values})
+
+    counts = rows_ds.map_batches(count_partial, batch_format="pandas").to_pandas()
+    total = counts.groupby(bkey_col, sort=False)["n"].sum()
+    hot = set(total[total >= 2].index)
+    if not hot:
+        cols = [bkey_col, id_col] + (extra_cols or [])
+        return pd.DataFrame({c: [] for c in cols})
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[bkey_col].isin(hot)]
+
+    return rows_ds.map_batches(pick, batch_format="pandas").to_pandas()
 
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
@@ -166,18 +207,15 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
     bands = with_sig.map_batches(
         lambda b: lsh_band_rows(b, num_bands, id_col), batch_format="pyarrow"
     )
-
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        base = ids[0]
-        return pd.DataFrame({"id_a": [base] * (len(ids) - 1), "id_b": ids[1:]})
-
-    pairs = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(emit_pairs, batch_format="pandas")
-    ).to_pandas()
+    hot = collect_hot_groups(bands, "bkey", id_col)
+    if len(hot) == 0:
+        return rd.from_items([]), with_sig
+    # hot-bucket member rows are small: emit (bucket-min, other) pairs
+    # in one vectorized pandas pass
+    hot = hot.sort_values([id_col]).drop_duplicates(["bkey", id_col])
+    gmin = hot.groupby("bkey", sort=False)[id_col].transform("min")
+    pairs = hot[hot[id_col] != gmin].assign(id_a=gmin[hot[id_col] != gmin])
+    pairs = pairs.rename(columns={id_col: "id_b"})[["id_a", "id_b"]]
     if len(pairs) == 0:
         return rd.from_items([]), with_sig
     pairs = pairs.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
@@ -231,28 +269,36 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
 # ---------------------------------------------------------------------------
 
 class SimHasher:
-    """64-bit SimHash over word tokens (public Charikar construction)."""
+    """64-bit SimHash over word tokens (public Charikar construction).
+    Actor-pool class: token-hash cache amortized across batches; the
+    bit-vote accumulation is one vectorized (n_toks, 64) reduction."""
+
+    _SHIFTS = np.arange(64, dtype=np.uint64)
 
     def __init__(self):
-        pass
+        self._tok_cache: dict[str, int] = {}
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        toks = text.split()
+    def _tok_hash(self, tok: str) -> int:
+        h = self._tok_cache.get(tok)
+        if h is None:
+            if len(self._tok_cache) > 1_000_000:
+                self._tok_cache.clear()
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+            )
+            self._tok_cache[tok] = h
+        return h
+
+    def simhash(self, text: str) -> int:
+        toks = text.lower().split()
         if not toks:
             return 0
-        acc = np.zeros(64, dtype=np.int64)
-        for t in toks:
-            h = int.from_bytes(
-                hashlib.blake2b(t.lower().encode("utf-8"), digest_size=8).digest(),
-                "little",
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
+        th = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
+        bits = ((th[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
         out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
+        for i in np.nonzero(acc > 0)[0]:
+            out |= 1 << int(i)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -275,34 +321,30 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
     def chunk_rows(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         sigs = batch.column("simhash").to_pylist()
-        rows = {"chunk": [], "chunk_val": [], id_col: [], "sig": []}
+        rows = {"bkey": [], id_col: [], "sig": []}
         for i, s in zip(ids, sigs):
             u = s & ((1 << 64) - 1)
             for c in range(4):
-                rows["chunk"].append(c)
-                rows["chunk_val"].append((u >> (16 * c)) & 0xFFFF)
+                rows["bkey"].append((((u >> (16 * c)) & 0xFFFF) << 3) | c)
                 rows[id_col].append(i)
                 rows["sig"].append(s)
         return pa.table(rows)
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col).drop_duplicates(id_col)
+    chunks = with_sig.map_batches(chunk_rows, batch_format="pyarrow")
+    hot = collect_hot_groups(chunks, "bkey", id_col, ["sig"])
+    if len(hot) == 0:
+        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+    out_a, out_b, out_d = [], [], []
+    for _, g in hot.groupby("bkey", sort=False):
+        g = g.sort_values(id_col).drop_duplicates(id_col)
         ids = g[id_col].tolist()
         sigs = g["sig"].tolist()
-        out_a, out_b, out_d = [], [], []
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
                 d = hamming64(sigs[x], sigs[y])
                 if d <= max_hamming:
                     out_a.append(ids[x]); out_b.append(ids[y]); out_d.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
-
-    pairs = (
-        with_sig.map_batches(chunk_rows, batch_format="pyarrow")
-        .groupby(["chunk", "chunk_val"])
-        .map_groups(emit_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+    pairs = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
     if len(pairs):
         pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
     return pairs
