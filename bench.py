@@ -104,17 +104,25 @@ def bench_convert(results: dict, thr: dict, n: int | None = None) -> None:
     out_dir = os.path.join(SCRATCH, "convert_rows_n%d_c%d" % (n, NUM_CPUS))
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    from warcit_ray.codecs import phash64, psnr
+
     def convert(t: pa.Table) -> pa.Table:
-        out = {"image_id": [], "url": [], "out_fmt": [], "digest": [], "nbytes": []}
+        out = {"image_id": [], "url": [], "out_fmt": [], "digest": [],
+               "nbytes": [], "phash": [], "psnr_ok": []}
         for row in t.select(["image_id", "bytes", "fmt"]).to_pylist():
             img = decode(row["bytes"], row["fmt"])
+            ph = phash64(img)
             for fmt in ("png", "dctq"):
                 b = encode(img, fmt)
+                back = decode(b, fmt)
+                p = psnr(img, back)
                 out["image_id"].append(row["image_id"])
                 out["url"].append("http://img.example/%s.%s" % (row["image_id"], fmt))
                 out["out_fmt"].append(fmt)
                 out["digest"].append(sha1_b32(b))
                 out["nbytes"].append(len(b))
+                out["phash"].append(ph & ((1 << 63) - 1))
+                out["psnr_ok"].append(bool(p == float("inf") or p >= 40.0))
         return pa.table(out)
 
     t = time.time()
@@ -164,6 +172,13 @@ def run_bench() -> dict:
         with open(os.path.join(SF_DIR, f), "rb") as fh:
             while fh.read(1 << 24):
                 pass
+    # warm the Ray worker pool (untimed) so the first timed pipeline
+    # doesn't pay worker-process startup
+    import ray.data as _rd
+
+    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     results: dict = {}
     thr: dict = {}
@@ -172,7 +187,7 @@ def run_bench() -> dict:
     if scaling_only:
         # the scaling criterion measures the CPU-bound flagship alone so
         # fixed driver overhead doesn't mask parallel efficiency
-        bench_convert(results, thr, n=int(os.environ.get("GRAFT_SCALE_N", "12000")))
+        bench_convert(results, thr, n=int(os.environ.get("GRAFT_SCALE_N", "48000")))
     else:
         bench_warc_build(results, thr)
         bench_convert(results, thr)
@@ -194,7 +209,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     # pre-generate the corpus once so both runs read the same cached input
-    n = int(os.environ.get("GRAFT_SCALE_N", "12000"))
+    n = int(os.environ.get("GRAFT_SCALE_N", "48000"))
     os.makedirs(SCRATCH, exist_ok=True)
     from warcit_ray.sources.synth import write_image_table
 

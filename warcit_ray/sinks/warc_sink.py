@@ -120,6 +120,7 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
     ``<out_dir>/part-<min_seq:020d>.warc.gz`` written atomically
     (tmp + rename), so lexicographic order reproduces record order and
     a rerun skips parts that already exist (resumable layout)."""
+    out_dir = os.path.abspath(out_dir)  # workers have their own CWD
     if mode == "xb" and os.path.isdir(out_dir) and glob.glob(os.path.join(out_dir, "*.warc*")):
         raise FileExistsError(out_dir + " already contains WARC shards (use mode='wb'/'ab')")
     if mode == "wb" and os.path.isdir(out_dir):
