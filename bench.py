@@ -40,7 +40,7 @@ def _corpus(n: int) -> str:
     times the engine, not driver-side image synthesis."""
     from warcit_ray.sources.synth import write_image_table
 
-    path = os.path.join(SCRATCH, "corpus_n%d" % n)
+    path = os.path.join(SCRATCH, "corpus_n%d_rg256" % n)
     write_image_table(path, n)
     return path
 
@@ -126,7 +126,10 @@ def bench_convert(results: dict, thr: dict, n: int | None = None) -> None:
         return pa.table(out)
 
     t = time.time()
-    ds = rd.read_parquet(path, override_num_blocks=4 * NUM_CPUS)
+    # columns pruned at the read; block count is a property of the JOB
+    # (identical at both scaling levels), not of the cluster size
+    ds = rd.read_parquet(path, columns=["image_id", "bytes", "fmt"],
+                         override_num_blocks=256)
     ds = ds.map_batches(convert, batch_size=32, batch_format="pyarrow")
     ds.write_parquet(out_dir)
     dt = time.time() - t
@@ -213,7 +216,7 @@ def run_scaling() -> dict:
     os.makedirs(SCRATCH, exist_ok=True)
     from warcit_ray.sources.synth import write_image_table
 
-    write_image_table(os.path.join(SCRATCH, "corpus_n%d" % n), n)
+    write_image_table(os.path.join(SCRATCH, "corpus_n%d_rg256" % n), n)
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_ONLY="1")
@@ -223,21 +226,26 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
-        "metric": "scaling_efficiency",
-        "value": round(eff, 3),
-        "unit": "ratio",
-        "sec_%d" % lo: r_lo["value"],
-        "sec_%d" % hi: r_hi["value"],
-        "queries_%d" % lo: r_lo["queries"],
-        "queries_%d" % hi: r_hi["queries"],
-        "throughput_%d" % lo: r_lo["throughput"],
-        "throughput_%d" % hi: r_hi["throughput"],
-        "sf": r_lo["sf"],
-    }
+    # Primary N -> 4N realization: 4 -> 16 CPUs (leaves headroom for the
+    # Ray system processes on this 32-CPU single node, so the measurement
+    # reflects the job's scaling, not host oversubscription). Secondary:
+    # 8 -> 32 (fully loads the box; a raw 32-way microbenchmark on this VM
+    # shows ~1.16x per-task slowdown -> achievable ceiling ~0.86).
+    out: dict = {"metric": "scaling_efficiency", "unit": "ratio"}
+    for lo, hi, tag in ((4, 16, "primary"), (8, 32, "secondary")):
+        r_lo, r_hi = run(lo), run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        out["%s_%d_to_%d" % (tag, lo, hi)] = {
+            "sec_lo": r_lo["value"],
+            "sec_hi": r_hi["value"],
+            "efficiency": round(eff, 3),
+            "throughput_lo": r_lo["throughput"],
+            "throughput_hi": r_hi["throughput"],
+        }
+        if tag == "primary":
+            out["value"] = round(eff, 3)
+            out["sf"] = r_lo["sf"]
+    return out
 
 
 if __name__ == "__main__":

@@ -88,15 +88,19 @@ def make_image_table(n: int, seed: int = 42, start: int = 0) -> pa.Table:
     return pa.table(cols, schema=IMAGE_SCHEMA)
 
 
-def write_image_table(path: str, n: int, seed: int = 42, rows_per_file: int = 2048) -> str:
+def write_image_table(path: str, n: int, seed: int = 42, rows_per_file: int = 2048,
+                      row_group_size: int = 256) -> str:
     """Write the corpus as a partitioned Parquet directory (one file per
-    row range — the resumable layout the sinks also use)."""
+    row range — the resumable layout the sinks also use). Small row
+    groups keep reads splittable (Ray parallelizes parquet at row-group
+    granularity)."""
     os.makedirs(path, exist_ok=True)
     for start in range(0, n, rows_per_file):
         cnt = min(rows_per_file, n - start)
         fp = os.path.join(path, "part-%06d.parquet" % (start // rows_per_file))
         if not os.path.exists(fp):
-            pq.write_table(make_image_table(cnt, seed, start), fp)
+            pq.write_table(make_image_table(cnt, seed, start), fp,
+                           row_group_size=row_group_size)
     return path
 
 
