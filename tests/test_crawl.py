@@ -225,3 +225,17 @@ def test_crawl_resume_bit_identical(corpus, tmp_path):
     # the resumed run continued, not restarted: its visit log only covers
     # generations after the stop point
     assert all(g > 3 for g, _, _ in resumed["visit_log"])
+
+
+def test_hot_host_cap():
+    # skew guard: a hot host's frontier is capped; best-(priority,seq)
+    # entries are retained, eviction counted
+    hs = HostShardState(0, rate=1.0, capacity=2.0, max_pending_per_host=4)
+    n = 20
+    hs.offer(["hot"] * n, ["http://hot/p%02d" % i for i in range(n)],
+             [i % 3 for i in range(n)], list(range(n)), [""] * n, [0] * n)
+    assert hs.pending() <= 5  # cap 4 with 1.2x amortization slack
+    assert hs.get_stats()["evicted"] > 0
+    out = hs.admit()
+    # the best-priority entries survived the trim
+    assert out["url"][0] == "http://hot/p00"

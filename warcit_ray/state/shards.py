@@ -73,13 +73,21 @@ class HostShardState:
     ``admit`` walks hosts in sorted order."""
 
     def __init__(self, shard_id: int, rate: float = 1.0, capacity: float = 2.0,
-                 robots_map: dict[str, list[str]] | None = None):
+                 robots_map: dict[str, list[str]] | None = None,
+                 max_pending_per_host: int = 100_000):
         self.shard_id = shard_id
         self.rate = rate
         self.capacity = capacity
         self.robots = robots_map or {}
         self.hosts: dict[str, dict] = {}
         self.stats: Counter = Counter()
+        # Skew guard: politeness bounds how fast any one host can ever be
+        # crawled, so frontier entries beyond this cap can never be
+        # visited before the crawl budget runs out — a hot host (one that
+        # dominates the link graph) would otherwise blow up this shard's
+        # heap memory. Eviction is deterministic: the WORST (priority,
+        # seq, url) entry goes, so the kept set is order-independent.
+        self.max_pending = max_pending_per_host
 
     def _host(self, host: str) -> dict:
         st = self.hosts.get(host)
@@ -99,8 +107,14 @@ class HostShardState:
             if not allowed(url, self.robots.get(host, ())):
                 self.stats["robots_blocked"] += 1
                 continue
-            heapq.heappush(self._host(host)["heap"], (pri, seq, url, key, depth))
+            st = self._host(host)
+            heapq.heappush(st["heap"], (pri, seq, url, key, depth))
             accepted += 1
+            # amortized trim: keep the best max_pending entries
+            if len(st["heap"]) > self.max_pending * 1.2:
+                n_evict = len(st["heap"]) - self.max_pending
+                st["heap"] = sorted(st["heap"])[: self.max_pending]
+                self.stats["evicted"] += n_evict
         self.stats["offered"] += accepted
         return accepted
 
@@ -160,7 +174,8 @@ class HostShardState:
 
 def make_actors(num_seen: int, num_host: int, *, seen_capacity: int = 1 << 20,
                 rate: float = 1.0, capacity: float = 2.0,
-                robots_map: dict | None = None):
+                robots_map: dict | None = None,
+                max_pending_per_host: int = 100_000):
     """Create the actor fleets. Seen shards get a fraction of a CPU so
     a large fleet doesn't starve the data plane."""
     import ray
@@ -168,5 +183,6 @@ def make_actors(num_seen: int, num_host: int, *, seen_capacity: int = 1 << 20,
     Seen = ray.remote(num_cpus=0.25)(SeenShardState)
     Host = ray.remote(num_cpus=0.25)(HostShardState)
     seen = [Seen.remote(i, seen_capacity) for i in range(num_seen)]
-    host = [Host.remote(i, rate, capacity, robots_map) for i in range(num_host)]
+    host = [Host.remote(i, rate, capacity, robots_map, max_pending_per_host)
+            for i in range(num_host)]
     return seen, host
