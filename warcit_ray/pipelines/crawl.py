@@ -375,9 +375,14 @@ class CrawlCheckpoint:
 
 
 def crawl(
-    corpus_table: pa.Table,
+    corpus_table: pa.Table | None = None,
     *,
     graph: WebGraph | None = None,
+    fetch_fn=None,
+    fetch_args: tuple = (),
+    explode_fn=None,
+    seeds: pa.Table | None = None,
+    robots_map: dict | None = None,
     n_seeds: int = 8,
     max_generations: int = 10,
     num_seen_shards: int = 4,
@@ -401,18 +406,38 @@ def crawl(
 
     from ..state.shards import make_actors
 
-    n = corpus_table.num_rows
-    graph = graph or WebGraph(n)
+    # fetcher plumbing: default = the corpus/WebGraph fetcher; callers
+    # may pass any (fetch_fn(batch, *fetch_args) -> records-with-links,
+    # explode_fn(records) -> frontier, seeds, robots_map) — e.g. the
+    # zip-archive crawler in pipelines/zipcrawl.py (file://and zip://
+    # pseudo-URLs are first-class frontier entries per the north rule).
+    if fetch_fn is None:
+        if corpus_table is None:
+            raise ValueError("need corpus_table or an explicit fetch_fn")
+        n = corpus_table.num_rows
+        graph = graph or WebGraph(n)
+        corpus_ref = ray.put(corpus_dict(corpus_table))
+        fetch_fn = fetch_batch
+        fetch_args = (corpus_ref, graph, clock_iso)
+        explode_fn = lambda t: explode_links(t, graph)  # noqa: E731
+        seeds = seeds_table(graph, n_seeds)
+        robots_map = graph.robots_map()
+        seen_capacity = max(4096, 4 * n)
+    else:
+        if seeds is None or explode_fn is None:
+            raise ValueError("custom fetch_fn needs seeds and explode_fn")
+        seen_capacity = 1 << 20
+
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None
 
     seen_actors, host_actors = make_actors(
         num_seen_shards, num_host_shards,
-        seen_capacity=max(4096, 4 * n),
-        rate=rate, capacity=capacity, robots_map=graph.robots_map(),
+        seen_capacity=seen_capacity,
+        rate=rate, capacity=capacity, robots_map=robots_map,
     )
 
     start_gen = 0
-    frontier: pa.Table | None = seeds_table(graph, n_seeds)
+    frontier: pa.Table | None = seeds
     if resume:
         if ckpt is None:
             raise ValueError("resume requires checkpoint_dir")
@@ -428,7 +453,6 @@ def crawl(
             # the last generation but never offered resume as the frontier
             frontier = ckpt.load_next_frontier(last)
 
-    corpus_ref = ray.put(corpus_dict(corpus_table))
     totals = {"admitted": 0, "offered": 0, "generations": 0}
     visit_log: list[tuple] = []
 
@@ -439,7 +463,7 @@ def crawl(
     # sized so the 10^10-frontier path is always the Dataset one.
     small_frontier = 32768
     small_admit = 8192
-    fetch_task = ray.remote(num_cpus=1)(fetch_batch)
+    fetch_task = ray.remote(num_cpus=1)(fetch_fn)
 
     for g in range(start_gen, max_generations):
         # --- 1. dedup + offer the current frontier (if any) -------------
@@ -499,20 +523,19 @@ def crawl(
             if n_admitted <= small_admit:
                 # parallel plain tasks over ~256-row slices
                 refs = [
-                    fetch_task.remote(admitted.slice(lo, 256), corpus_ref,
-                                      graph, clock_iso)
+                    fetch_task.remote(admitted.slice(lo, 256), *fetch_args)
                     for lo in range(0, n_admitted, 256)
                 ]
                 records = pa.concat_tables(ray.get(refs))
-                next_frontier = explode_links(records, graph)
+                next_frontier = explode_fn(records)
             else:
                 records = rd.from_arrow(admitted).map_batches(
-                    fetch_batch,
-                    fn_args=(corpus_ref, graph, clock_iso),
+                    fetch_fn,
+                    fn_args=fetch_args,
                     batch_size=256, batch_format="pyarrow",
                 ).materialize()
                 link_tables = [
-                    explode_links(b, graph)
+                    explode_fn(b)
                     for b in records.select_columns(["links"]).iter_batches(
                         batch_size=batch_size, batch_format="pyarrow")
                 ]

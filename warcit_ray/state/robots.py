@@ -26,8 +26,15 @@ def parse_robots(text: str) -> list[str]:
 
 
 def url_path(url: str) -> str:
-    if url.startswith(("zip://", "file://")):
-        return "/" + url.split("://", 1)[1].split("/", 1)[-1]
+    if url.startswith("zip://"):
+        # member path after '!', relative to its first segment (the
+        # archive's internal site root) — '/secret/x' inside
+        # 'zip://a.zip!site/secret/x'
+        member = url.split("!", 1)[-1]
+        parts = member.split("/", 1)
+        return "/" + (parts[1] if len(parts) > 1 else "")
+    if url.startswith("file://"):
+        return url[7:] or "/"
     try:
         return urlsplit(url).path or "/"
     except ValueError:
