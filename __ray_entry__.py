@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl + image pipelines (north rule; rows-only)
         "crawl_demo": q.crawl_demo,
         "image_transcode": q.image_transcode,
+        "image_features": q.image_features,
         "phash_near_dup": q.phash_near_dup,
     }
 

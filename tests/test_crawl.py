@@ -239,3 +239,24 @@ def test_hot_host_cap():
     out = hs.admit()
     # the best-priority entries survived the trim
     assert out["url"][0] == "http://hot/p00"
+
+
+def test_dataset_path_equivalent_to_direct_path(corpus):
+    """Forcing the large-frontier Dataset branches (thresholds=0) must
+    produce the same crawl as the small/direct branches."""
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=10, num_seen_shards=2,
+              num_host_shards=2, clock_iso=CLOCK)
+    small = crawl(corpus, graph=graph, **kw)
+    large = crawl(corpus, graph=graph, small_frontier_threshold=0,
+                  small_admit_threshold=0, **kw)
+
+    def per_host(log):
+        out = {}
+        for g, h, u in log:
+            out.setdefault(h, []).append(u)
+        return out
+
+    assert per_host(small["visit_log"]) == per_host(large["visit_log"])
+    assert small["admitted"] == large["admitted"]
+    assert small["seen"] == large["seen"]

@@ -96,7 +96,7 @@ def test_query_vs_oracle(entry_mod, con, name):
 @pytest.mark.parametrize("name", sorted([
     "warc_digests", "embedding_near_dup", "minhash_dedup", "simhash_dedup",
     "lang_id", "quality_scores", "fingerprints", "ann_ivf", "crawl_demo",
-    "image_transcode", "phash_near_dup",
+    "image_transcode", "image_features", "phash_near_dup",
 ]))
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_df(entry_mod.queries()[name](SF_DIR))
@@ -115,7 +115,7 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     expected_rows_only = {
         "warc_digests", "embedding_near_dup", "minhash_dedup", "simhash_dedup",
         "lang_id", "quality_scores", "fingerprints", "ann_ivf", "crawl_demo",
-        "image_transcode", "phash_near_dup",
+        "image_transcode", "image_features", "phash_near_dup",
     }
     assert rows_only == expected_rows_only
 

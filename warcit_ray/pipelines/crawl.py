@@ -395,6 +395,8 @@ def crawl(
     stop_after_generation: int | None = None,
     batch_size: int = 4096,
     fetch_concurrency: int = 4,
+    small_frontier_threshold: int = 32768,
+    small_admit_threshold: int = 8192,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
@@ -461,8 +463,8 @@ def crawl(
     # actors — just without per-generation Ray Data job overhead); large
     # generations stream through Dataset pipelines. The crossover is
     # sized so the 10^10-frontier path is always the Dataset one.
-    small_frontier = 32768
-    small_admit = 8192
+    small_frontier = small_frontier_threshold
+    small_admit = small_admit_threshold
     fetch_task = ray.remote(num_cpus=1)(fetch_fn)
 
     for g in range(start_gen, max_generations):

@@ -569,6 +569,25 @@ def image_transcode(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def image_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal feature extraction (decode -> stats/phash) as an
+    actor-pool stage over the synthetic image corpus (rows-only)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageFeatures
+
+    corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 150))
+    out = (
+        rd.from_arrow(corpus.select(["image_id", "bytes", "fmt"]))
+        .map_batches(ImageFeatures, batch_size=32, batch_format="pyarrow",
+                     concurrency=2)
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
+    for c in ("mean_r", "mean_g", "mean_b", "luma_std", "edge_density"):
+        out[c] = out[c].round(6)
+    return out
+
+
 def phash_near_dup(sf_dir: str) -> pd.DataFrame:
     """Image near-dup by perceptual-hash hamming distance, bucketed on
     16-bit phash chunks (same banding idea as simhash)."""
