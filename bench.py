@@ -66,6 +66,43 @@ def bench_crawl(results: dict, thr: dict) -> None:
     thr["crawl_urls"] = res["admitted"]
 
 
+def bench_frontier(results: dict, thr: dict) -> None:
+    """Sustained frontier URLs/sec — the north-rule headline metric.
+    A 200k-URL graph with ~2k hosts and high politeness budgets drives
+    the seen/offer/admit machinery through its large-generation Dataset
+    paths (no image payloads; record bookkeeping identical)."""
+    from warcit_ray.pipelines.crawl import (
+        WebGraph,
+        crawl,
+        light_fetch_batch,
+        explode_links,
+        seeds_table,
+    )
+
+    n = max(20000, int(200_000 * _sf() * 10))
+    graph = WebGraph(n, n_hosts=1997, fanout=8, private_every=0)
+    clock = "2026-01-01T00:00:00Z"
+    seeds = seeds_table(graph, 2048)
+    t = time.time()
+    res = crawl(
+        fetch_fn=light_fetch_batch,
+        fetch_args=(graph, clock),
+        explode_fn=lambda tbl: explode_links(tbl, graph),
+        seeds=seeds,
+        robots_map=graph.robots_map(),
+        rate=64.0, capacity=128.0,
+        max_generations=12,
+        num_seen_shards=8, num_host_shards=8,
+        clock_iso=clock,
+        small_frontier_threshold=8192, small_admit_threshold=2048,
+        track_visits=False,
+    )
+    dt = time.time() - t
+    results["frontier"] = round(dt, 3)
+    thr["frontier_urls_per_sec"] = round(res["admitted"] / dt, 1)
+    thr["frontier_urls"] = res["admitted"]
+
+
 def bench_warc_build(results: dict, thr: dict) -> None:
     """documents -> WARC-equivalent rows (digest + escape + mime) ->
     parquet. Records/s is the reference-comparable number."""
@@ -195,6 +232,7 @@ def run_bench() -> dict:
         bench_warc_build(results, thr)
         bench_convert(results, thr)
         bench_crawl(results, thr)
+        bench_frontier(results, thr)
         bench_queries(results)
     total = round(time.time() - t0, 3)
     out = {

@@ -191,6 +191,48 @@ CRAWL_RECORD_FIELDS = [
 ]
 
 
+def light_fetch_batch(batch: pa.Table, graph: WebGraph, clock_iso: str) -> pa.Table:
+    """Payload-light fetch for frontier-throughput benchmarking: the
+    record payload is the URL itself (no image corpus lookup), but the
+    full record/digest/link bookkeeping is identical. Used to measure
+    sustained frontier URLs/sec with the seen/offer/admit machinery at
+    full tilt."""
+    out = {f: [] for f in CRAWL_RECORD_FIELDS}
+    for row in batch.to_pylist():
+        idx = graph.idx_of(row["url"])
+        payload = row["url"].encode("utf-8")
+        digest = sha1_b32(payload)
+        out["generation"].append(row["generation"])
+        out["seq"].append(row["seq"])
+        out["record_type"].append("resource")
+        out["target_uri"].append(row["url"])
+        out["host"].append(row["host"])
+        out["warc_date"].append(clock_iso)
+        out["content_type"].append("text/plain")
+        out["payload"].append(payload)
+        out["content_length"].append(len(payload))
+        out["payload_digest"].append(digest)
+        out["record_id"].append(
+            record_id(row["url"], clock_iso, digest, "resource", row["seq"]))
+        out["image_id"].append("")
+        out["fmt"].append("")
+        out["caption"].append("")
+        out["links"].append(graph.links(idx))
+    schema = pa.schema(
+        [
+            pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
+            pa.field("record_type", pa.string()), pa.field("target_uri", pa.string()),
+            pa.field("host", pa.string()), pa.field("warc_date", pa.string()),
+            pa.field("content_type", pa.string()), pa.field("payload", pa.binary()),
+            pa.field("content_length", pa.int64()), pa.field("payload_digest", pa.string()),
+            pa.field("record_id", pa.string()), pa.field("image_id", pa.string()),
+            pa.field("fmt", pa.string()), pa.field("caption", pa.string()),
+            pa.field("links", pa.list_(pa.string())),
+        ]
+    )
+    return pa.table(out, schema=schema)
+
+
 # worker-process cache: the broadcast corpus is deserialized once per
 # worker process, not once per task (the ray.put'd dict is reused by
 # every fetch task scheduled on that worker)
@@ -397,6 +439,7 @@ def crawl(
     fetch_concurrency: int = 4,
     small_frontier_threshold: int = 32768,
     small_admit_threshold: int = 8192,
+    track_visits: bool = True,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
@@ -515,8 +558,9 @@ def crawl(
         )
         totals["admitted"] += n_admitted
         totals["generations"] = g + 1
-        for h, u in zip(cols["host"], cols["url"]):
-            visit_log.append((g, h, u))
+        if track_visits:
+            for h, u in zip(cols["host"], cols["url"]):
+                visit_log.append((g, h, u))
 
         # --- 3. fetch + link discovery -----------------------------------
         records = None  # pa.Table (small path) or Dataset (large path)
