@@ -94,7 +94,8 @@ def bench_frontier(results: dict, thr: dict) -> None:
         max_generations=12,
         num_seen_shards=8, num_host_shards=8,
         clock_iso=clock,
-        small_frontier_threshold=8192, small_admit_threshold=2048,
+        batch_size=16384,
+        small_frontier_threshold=8192, small_admit_threshold=65536,
         track_visits=False,
     )
     dt = time.time() - t
@@ -164,9 +165,11 @@ def bench_convert(results: dict, thr: dict, n: int | None = None) -> None:
 
     t = time.time()
     # columns pruned at the read; block count is a property of the JOB
-    # (identical at both scaling levels), not of the cluster size
+    # (scales with corpus size, identical at both scaling levels — NOT a
+    # function of cluster size)
+    blocks = min(256, max(16, n // 187))
     ds = rd.read_parquet(path, columns=["image_id", "bytes", "fmt"],
-                         override_num_blocks=256)
+                         override_num_blocks=blocks)
     ds = ds.map_batches(convert, batch_size=32, batch_format="pyarrow")
     ds.write_parquet(out_dir)
     dt = time.time() - t

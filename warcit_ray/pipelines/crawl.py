@@ -130,8 +130,12 @@ def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
     if not urls:
         return batch
     n = len(seen_actors)
-    surts = [surt(u) for u in urls]
-    hashes = surt_hash64_batch(surts)
+    # dedup raw URL strings FIRST (cheap), so surt+hash run once per
+    # distinct URL in the batch — link batches repeat heavily at fanout>1
+    uniq_urls, url_inverse = np.unique(np.asarray(urls, dtype=object),
+                                       return_inverse=True)
+    uniq_hashes = surt_hash64_batch([surt(u) for u in uniq_urls])
+    hashes = uniq_hashes[url_inverse]
     uniq, inverse = np.unique(hashes, return_inverse=True)
     first_of = np.full(len(uniq), -1, dtype=np.int64)
     for pos, inv in enumerate(inverse):
@@ -297,21 +301,30 @@ def fetch_batch(batch: pa.Table, corpus_ref, graph: WebGraph,
 
 
 def explode_links(batch: pa.Table, graph: WebGraph) -> pa.Table:
-    """Vectorized 1->N link expansion to next-generation frontier rows
-    (pyarrow list flatten, no per-row Python for the explode)."""
+    """Vectorized 1->N link expansion to next-generation frontier rows:
+    pyarrow list-flatten for the explode, slice+cast kernels for the
+    index (WebGraph URLs end in the 8-digit index), arithmetic for
+    priority — no per-row Python."""
+    import pyarrow.compute as pc
+
     links = batch.column("links")
     if isinstance(links, pa.ChunkedArray):
         links = links.combine_chunks()
     flat = links.flatten()
-    urls = flat.to_pylist()
-    idxs = [graph.idx_of(u) for u in urls]
+    if len(flat) == 0:
+        return pa.table({n: [] for n in FRONTIER_SCHEMA.names},
+                        schema=FRONTIER_SCHEMA)
+    tail = pc.utf8_slice_codeunits(flat, start=-8)
+    idxs = pc.cast(tail, pa.int64())
+    pri = pc.subtract(idxs, pc.multiply(pc.divide(idxs, 3), pa.scalar(3, type=pa.int64())))
+    key = pc.binary_join_element_wise(pa.scalar("img"), tail, "")
     return pa.table(
         {
-            "url": pa.array(urls, type=pa.string()),
-            "priority": pa.array([graph.priority(i) for i in idxs], type=pa.int64()),
-            "seq": pa.array(idxs, type=pa.int64()),  # stable discovery key
-            "payload_key": pa.array(["img%08d" % i for i in idxs], type=pa.string()),
-            "depth": pa.array(np.zeros(len(urls), dtype=np.int64)),
+            "url": flat,
+            "priority": pri,
+            "seq": idxs,  # stable discovery key
+            "payload_key": key,
+            "depth": pa.array(np.zeros(len(flat), dtype=np.int64)),
         },
         schema=FRONTIER_SCHEMA,
     )
@@ -568,9 +581,10 @@ def crawl(
         if n_admitted:
             if n_admitted <= small_admit:
                 # parallel plain tasks over ~256-row slices
+                slice_rows = 1024 if n_admitted > 4096 else 256
                 refs = [
-                    fetch_task.remote(admitted.slice(lo, 256), *fetch_args)
-                    for lo in range(0, n_admitted, 256)
+                    fetch_task.remote(admitted.slice(lo, slice_rows), *fetch_args)
+                    for lo in range(0, n_admitted, slice_rows)
                 ]
                 records = pa.concat_tables(ray.get(refs))
                 next_frontier = explode_fn(records)

@@ -101,15 +101,21 @@ class HostShardState:
         """Enqueue candidate URLs (already seen-filtered). Robots-gated
         here so a disallowed URL never occupies frontier memory."""
         accepted = 0
+        # batch per host: collect entries, then one extend+heapify per
+        # host (O(n) C heapify beats n pushes for large offers)
+        pending: dict[str, list] = {}
         for host, url, pri, seq, key, depth in zip(
             hosts, urls, priorities, seqs, payload_keys, depths
         ):
             if not allowed(url, self.robots.get(host, ())):
                 self.stats["robots_blocked"] += 1
                 continue
-            st = self._host(host)
-            heapq.heappush(st["heap"], (pri, seq, url, key, depth))
+            pending.setdefault(host, []).append((pri, seq, url, key, depth))
             accepted += 1
+        for host, entries in pending.items():
+            st = self._host(host)
+            st["heap"].extend(entries)
+            heapq.heapify(st["heap"])
             # amortized trim: keep the best max_pending entries
             if len(st["heap"]) > self.max_pending * 1.2:
                 n_evict = len(st["heap"]) - self.max_pending
