@@ -104,3 +104,26 @@ def test_crawl_zip_robots_gate(tmp_path):
     assert "site/ok.html" in visited
     assert "site/secret/x.html" not in visited
     assert res["robots_blocked"] >= 1
+
+
+def test_crawl_zip_resume(tmp_path):
+    full_ck = str(tmp_path / "full")
+    crawl_zip(IANA_ZIP, ROOT, [ROOT + "/index.html"],
+              checkpoint_dir=full_ck, max_generations=12)
+    part_ck = str(tmp_path / "part")
+    crawl_zip(IANA_ZIP, ROOT, [ROOT + "/index.html"],
+              checkpoint_dir=part_ck, max_generations=3)
+    crawl_zip(IANA_ZIP, ROOT, [ROOT + "/index.html"],
+              checkpoint_dir=part_ck, max_generations=12, resume=True)
+
+    def all_visited(root):
+        out = []
+        for g in sorted(os.listdir(root)):
+            d = os.path.join(root, g, "records")
+            if os.path.isdir(d):
+                for f in sorted(os.listdir(d)):
+                    out.extend(r["target_uri"]
+                               for r in pq.read_table(os.path.join(d, f)).to_pylist())
+        return sorted(out)
+
+    assert all_visited(full_ck) == all_visited(part_ck)
