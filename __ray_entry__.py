@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": q.q1_pricing_summary,
         "q3_top_orders": q.q3_top_orders,
         "top_customers": q.top_customers,
+        "priority_revenue": q.priority_revenue,
         "events_hourly": q.events_hourly,
         "sessionize_events": q.sessionize_events,
         "lang_stats": q.lang_stats,
@@ -111,6 +112,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_custkey
             ORDER BY total_spend DESC, c_custkey
             LIMIT 10
+        """,
+        "priority_revenue": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
         """,
         "events_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS hour,

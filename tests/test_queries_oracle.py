@@ -76,7 +76,7 @@ def test_entry_smoke(entry_mod):
 
 @pytest.mark.parametrize("name", sorted([
     "q1_pricing_summary", "q3_top_orders", "top_customers", "events_hourly",
-    "sessionize_events",
+    "sessionize_events", "priority_revenue",
     "lang_stats", "url_escape", "mime_by_extension", "include_exclude",
     "iso_timestamps", "revisit_expansion", "warc_build_docs", "dedup_exact",
     "token_counts", "embedding_topk",

@@ -149,6 +149,39 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
     ].reset_index(drop=True)
 
 
+def priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Both-sides-large join: orders x lineitem bucketed hash join on
+    orderkey (neither side broadcast), then revenue per order priority.
+    The merge output is pre-aggregated per bucket group before the tiny
+    driver combine."""
+    from ..stages.joins import bucketed_hash_join
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        out = t.select(["l_orderkey"]).append_column("rev", rev)
+        return out.rename_columns(["o_orderkey", "rev"])
+
+    lineitem = _rp(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        prep, batch_format="pyarrow")
+
+    joined = bucketed_hash_join(orders, lineitem, "o_orderkey", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", sort=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")).reset_index()
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderpriority", sort=True).agg(
+        revenue=("revenue", "sum"), n_items=("n_items", "sum")).reset_index()
+    out["revenue"] = out["revenue"].astype("float64").round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def events_hourly(sf_dir: str) -> pd.DataFrame:
     """Stream-shaped table: tumbling 1-hour windows — vectorized partial
     (floor + pandas groupby) per batch, driver combine of the partials

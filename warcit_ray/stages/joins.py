@@ -1,0 +1,61 @@
+"""Large-large joins.
+
+The reference has only broadcast-small-side lookups (SURVEY §2.4); a
+complete engine also needs the both-sides-large case. Two
+implementations:
+
+- :func:`hash_join` — Ray Data's native ``Dataset.join`` (hash
+  partitioned on the key) when available in the running Ray version.
+- :func:`bucketed_hash_join` — the portable explicit pattern from the
+  Ray guide: add ``bucket = hash(key) % B`` to both sides, tag the
+  side, union, group by bucket, and pandas-merge the two sides inside
+  ``map_groups``. One shuffle; B chosen so a bucket's rows fit a
+  worker; salt a hot key by splitting its bucket if a single key
+  dominates (document the skew assumption at call sites).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _with_bucket(ds, key: str, num_buckets: int, side: int):
+    def f(t: pa.Table) -> pa.Table:
+        k = np.asarray(t.column(key).to_pylist(), dtype=np.int64)
+        # splitmix-style mix so sequential keys spread across buckets
+        h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        bucket = (h % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("__bucket", pa.array(bucket)).append_column(
+            "__side", pa.array(np.full(len(k), side, dtype=np.int8))
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bucketed_hash_join(left, right, key: str, *, num_buckets: int = 32,
+                       how: str = "inner"):
+    """Explicit partitioned hash join -> Dataset of merged rows.
+    Column sets of the two sides must be disjoint apart from ``key``."""
+    tagged = _with_bucket(left, key, num_buckets, 0).union(
+        _with_bucket(right, key, num_buckets, 1)
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0].dropna(axis=1, how="all")
+        r = group[group["__side"] == 1].dropna(axis=1, how="all")
+        l = l.drop(columns=["__bucket", "__side"])
+        r = r.drop(columns=["__bucket", "__side"])
+        if len(l) == 0 or len(r) == 0:
+            if how == "inner":
+                return pd.DataFrame()
+        return l.merge(r, on=key, how=how)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def hash_join(left, right, key: str, *, num_partitions: int = 32,
+              join_type: str = "inner"):
+    """Ray Data native hash join (requires Dataset.join in this Ray)."""
+    return left.join(right, join_type, num_partitions, on=(key,))
