@@ -157,6 +157,109 @@ def zip_explode_links(records: pa.Table) -> pa.Table:
     return zip_frontier_table(links.flatten().to_pylist())
 
 
+def file_url(path: str) -> str:
+    return "file://" + path
+
+
+def file_fetch_batch(batch: pa.Table, root_dir: str, clock_iso: str) -> pa.Table:
+    """file:// frontier rows -> WARC-equivalent records + links.
+    Same semantics as the zip fetcher, resolving against the local
+    filesystem under ``root_dir`` (a directory link resolves to its
+    index.html, mirroring a web server)."""
+    import os
+
+    out = {
+        "generation": [], "seq": [], "record_type": [], "target_uri": [],
+        "host": [], "warc_date": [], "content_type": [], "payload": [],
+        "content_length": [], "payload_digest": [], "record_id": [],
+        "status": [], "links": [],
+    }
+    cache: dict = {}
+    root_parent = os.path.dirname(os.path.abspath(root_dir))
+    for row in batch.to_pylist():
+        path = row["url"][7:]
+        resolved = None
+        for cand in (path, os.path.join(path.rstrip("/"), "index.html"),
+                     os.path.join(path.rstrip("/"), "index.htm")):
+            if os.path.isfile(cand):
+                resolved = cand
+                break
+        links: list[str] = []
+        if resolved is None:
+            payload, mime, status = b"", "text/html", 404
+        else:
+            with open(resolved, "rb") as fh:
+                payload = fh.read()
+            mime = guess_mime_filename("http://x/" + resolved, cache) or "text/html"
+            status = 200
+            if mime in ("text/html", "text/xml") or "." not in os.path.basename(resolved):
+                rel = os.path.relpath(resolved, root_parent)
+                members = extract_links(
+                    payload.decode("utf-8", "replace"), rel,
+                    os.path.basename(os.path.abspath(root_dir)))
+                links = [file_url(os.path.join(root_parent, m)) for m in members]
+        digest = sha1_b32(payload)
+        out["generation"].append(row["generation"])
+        out["seq"].append(row["seq"])
+        out["record_type"].append("resource")
+        out["target_uri"].append(row["url"])
+        out["host"].append(row["host"])
+        out["warc_date"].append(clock_iso)
+        out["content_type"].append(mime)
+        out["payload"].append(payload)
+        out["content_length"].append(len(payload))
+        out["payload_digest"].append(digest)
+        out["record_id"].append(
+            record_id(row["url"], clock_iso, digest, "resource", row["seq"]))
+        out["status"].append(status)
+        out["links"].append(links)
+    schema = pa.schema(
+        [
+            pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
+            pa.field("record_type", pa.string()), pa.field("target_uri", pa.string()),
+            pa.field("host", pa.string()), pa.field("warc_date", pa.string()),
+            pa.field("content_type", pa.string()), pa.field("payload", pa.binary()),
+            pa.field("content_length", pa.int64()), pa.field("payload_digest", pa.string()),
+            pa.field("record_id", pa.string()), pa.field("status", pa.int64()),
+            pa.field("links", pa.list_(pa.string())),
+        ]
+    )
+    return pa.table(out, schema=schema)
+
+
+def crawl_dir(root_dir: str, seed_files: list[str], *,
+              clock_iso: str = "2026-01-01T00:00:00Z", rate: float = 8.0,
+              capacity: float = 16.0, max_generations: int = 40,
+              num_seen_shards: int = 2, num_host_shards: int = 2,
+              checkpoint_dir: str | None = None, resume: bool = False) -> dict:
+    """Crawl a local directory tree through the frontier machinery
+    (file:// pseudo-URLs; robots.txt at the tree root gates paths)."""
+    import os
+
+    from .crawl import crawl
+
+    root_dir = os.path.abspath(root_dir)
+    robots: dict[str, list[str]] = {}
+    rp = os.path.join(root_dir, "robots.txt")
+    if os.path.isfile(rp):
+        with open(rp) as fh:
+            # file:// paths are absolute, so site-relative Disallow
+            # prefixes are anchored at the tree root here
+            robots["file:"] = [root_dir + d for d in parse_robots(fh.read())]
+    seeds = zip_frontier_table([file_url(os.path.join(root_dir, f))
+                                for f in seed_files])
+    return crawl(
+        fetch_fn=file_fetch_batch,
+        fetch_args=(root_dir, clock_iso),
+        explode_fn=zip_explode_links,
+        seeds=seeds,
+        robots_map=robots,
+        rate=rate, capacity=capacity, max_generations=max_generations,
+        num_seen_shards=num_seen_shards, num_host_shards=num_host_shards,
+        clock_iso=clock_iso, checkpoint_dir=checkpoint_dir, resume=resume,
+    )
+
+
 def crawl_zip(archive: str, site_root: str, seed_members: list[str], *,
               clock_iso: str = "2026-01-01T00:00:00Z", rate: float = 8.0,
               capacity: float = 16.0, max_generations: int = 40,
