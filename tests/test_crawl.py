@@ -138,7 +138,7 @@ def test_crawl_matches_serial_oracle(corpus):
     oracle = serial_oracle(graph, kw["n_seeds"], kw["max_generations"],
                            kw["rate"], kw["capacity"])
     res = crawl(corpus, graph=graph, num_seen_shards=3, num_host_shards=3,
-                clock_iso=CLOCK, **kw)
+                clock_iso=CLOCK, seen_fp_bits=32, **kw)
 
     # per-host visit sequences identical (the politeness contract)
     def per_host(log):
@@ -195,7 +195,7 @@ def test_crawl_records_invariants(corpus, tmp_path):
 def test_crawl_resume_bit_identical(corpus, tmp_path):
     graph = WebGraph(N)
     kw = dict(n_seeds=6, max_generations=12, num_seen_shards=2,
-              num_host_shards=2, clock_iso=CLOCK)
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32)
     ck_full = str(tmp_path / "full")
     full = crawl(corpus, graph=graph, checkpoint_dir=ck_full, **kw)
 
@@ -246,7 +246,7 @@ def test_dataset_path_equivalent_to_direct_path(corpus):
     produce the same crawl as the small/direct branches."""
     graph = WebGraph(N)
     kw = dict(n_seeds=6, max_generations=10, num_seen_shards=2,
-              num_host_shards=2, clock_iso=CLOCK)
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32)
     small = crawl(corpus, graph=graph, **kw)
     large = crawl(corpus, graph=graph, small_frontier_threshold=0,
                   small_admit_threshold=0, **kw)

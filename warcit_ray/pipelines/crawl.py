@@ -188,6 +188,15 @@ def offer_batch(batch: pa.Table, host_actors) -> pa.Table:
     return pa.table({"offered": pa.array([offered], type=pa.int64())})
 
 
+def probe_and_offer_batch(batch: pa.Table, seen_actors, host_actors) -> int:
+    """Fused seen-probe + offer for the ray-task dispatch tier: one task
+    per frontier slice, no Dataset operators. Returns the offered count."""
+    fresh = seen_probe_batch(batch, seen_actors)
+    if fresh.num_rows == 0:
+        return 0
+    return int(offer_batch(fresh, host_actors)["offered"][0].as_py())
+
+
 CRAWL_RECORD_FIELDS = [
     "generation", "seq", "record_type", "target_uri", "host", "warc_date",
     "content_type", "payload", "content_length", "payload_digest",
@@ -453,6 +462,7 @@ def crawl(
     small_frontier_threshold: int = 32768,
     small_admit_threshold: int = 8192,
     track_visits: bool = True,
+    seen_fp_bits: int = 16,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
@@ -492,6 +502,7 @@ def crawl(
         num_seen_shards, num_host_shards,
         seen_capacity=seen_capacity,
         rate=rate, capacity=capacity, robots_map=robots_map,
+        seen_fp_bits=seen_fp_bits,
     )
 
     start_gen = 0
@@ -521,7 +532,12 @@ def crawl(
     # sized so the 10^10-frontier path is always the Dataset one.
     small_frontier = small_frontier_threshold
     small_admit = small_admit_threshold
+    # frontier generations up to this size dispatch as plain parallel ray
+    # tasks (fused probe+offer, no Dataset operator overhead); beyond it
+    # the streaming Dataset pipeline takes over (backpressure + spilling)
+    task_frontier = max(small_frontier, 4_000_000 // max(1, batch_size) * batch_size)
     fetch_task = ray.remote(num_cpus=1)(fetch_fn)
+    probe_offer_task = ray.remote(num_cpus=1)(probe_and_offer_batch)
 
     for g in range(start_gen, max_generations):
         # --- 1. dedup + offer the current frontier (if any) -------------
@@ -534,6 +550,13 @@ def crawl(
                     off += int(offer_batch(fresh, host_actors)["offered"][0].as_py()) \
                         if fresh.num_rows else 0
                 totals["offered"] += off
+            elif frontier.num_rows <= task_frontier:
+                refs = [
+                    probe_offer_task.remote(frontier.slice(lo, batch_size),
+                                            seen_actors, host_actors)
+                    for lo in range(0, frontier.num_rows, batch_size)
+                ]
+                totals["offered"] += sum(ray.get(refs))
             else:
                 fds = rd.from_arrow(frontier)
                 offered = (

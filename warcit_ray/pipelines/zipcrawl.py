@@ -231,7 +231,8 @@ def crawl_dir(root_dir: str, seed_files: list[str], *,
               clock_iso: str = "2026-01-01T00:00:00Z", rate: float = 8.0,
               capacity: float = 16.0, max_generations: int = 40,
               num_seen_shards: int = 2, num_host_shards: int = 2,
-              checkpoint_dir: str | None = None, resume: bool = False) -> dict:
+              checkpoint_dir: str | None = None, resume: bool = False,
+              seen_fp_bits: int = 32) -> dict:
     """Crawl a local directory tree through the frontier machinery
     (file:// pseudo-URLs; robots.txt at the tree root gates paths)."""
     import os
@@ -257,6 +258,7 @@ def crawl_dir(root_dir: str, seed_files: list[str], *,
         rate=rate, capacity=capacity, max_generations=max_generations,
         num_seen_shards=num_seen_shards, num_host_shards=num_host_shards,
         clock_iso=clock_iso, checkpoint_dir=checkpoint_dir, resume=resume,
+        seen_fp_bits=seen_fp_bits,
     )
 
 
@@ -264,7 +266,8 @@ def crawl_zip(archive: str, site_root: str, seed_members: list[str], *,
               clock_iso: str = "2026-01-01T00:00:00Z", rate: float = 8.0,
               capacity: float = 16.0, max_generations: int = 40,
               num_seen_shards: int = 2, num_host_shards: int = 2,
-              checkpoint_dir: str | None = None, resume: bool = False) -> dict:
+              checkpoint_dir: str | None = None, resume: bool = False,
+              seen_fp_bits: int = 32) -> dict:
     """Crawl a zip archive through the full frontier machinery
     (seen-set, politeness, robots, priority, checkpoint)."""
     from .crawl import crawl
@@ -287,4 +290,5 @@ def crawl_zip(archive: str, site_root: str, seed_members: list[str], *,
         rate=rate, capacity=capacity, max_generations=max_generations,
         num_seen_shards=num_seen_shards, num_host_shards=num_host_shards,
         clock_iso=clock_iso, checkpoint_dir=checkpoint_dir, resume=resume,
+        seen_fp_bits=seen_fp_bits,
     )

@@ -21,13 +21,23 @@ _FP_MIX = np.uint64(0x5BD1E995)
 
 
 class CuckooFilter:
-    def __init__(self, capacity: int, seed: int = 7, max_kicks: int = 500):
+    def __init__(self, capacity: int, seed: int = 7, max_kicks: int = 500,
+                 fp_bits: int = 16):
+        """``fp_bits``: fingerprint width. 16 (default) is the scale
+        design point (~19 bits/key, fp ~1.2e-4 — a false positive skips
+        one URL in ~8k, acceptable for crawl dedup). 32 doubles memory
+        but drops the fp rate to ~2e-9 — used where exact visit-set
+        equivalence is asserted."""
         nbuckets = 1
         while nbuckets * 4 * 0.84 < capacity:
             nbuckets <<= 1
         self.nbuckets = nbuckets
         self.mask = np.uint64(nbuckets - 1)
-        self.table = np.zeros((nbuckets, 4), dtype=np.uint16)
+        self.fp_bits = fp_bits
+        self._fp_dtype = np.uint16 if fp_bits <= 16 else np.uint32
+        self._fp_mask = np.uint64((1 << fp_bits) - 1)
+        self._fp_shift = np.uint64(64 - fp_bits)
+        self.table = np.zeros((nbuckets, 4), dtype=self._fp_dtype)
         self.max_kicks = max_kicks
         self.count = 0
         self._rng = np.random.default_rng(seed)
@@ -35,7 +45,7 @@ class CuckooFilter:
     # -- hashing ---------------------------------------------------------
 
     def _fingerprints(self, h: np.ndarray) -> np.ndarray:
-        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = ((h >> self._fp_shift) & self._fp_mask).astype(self._fp_dtype)
         fp[fp == 0] = 1  # 0 marks an empty slot
         return fp
 
@@ -68,7 +78,7 @@ class CuckooFilter:
                 return True
         # evict loop
         idx = i1 if (self._rng.integers(2) == 0) else i2
-        cur = np.uint16(fp)
+        cur = self._fp_dtype(fp)
         for _ in range(self.max_kicks):
             slot = int(self._rng.integers(4))
             cur, self.table[idx, slot] = self.table[idx, slot], cur

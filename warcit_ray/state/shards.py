@@ -31,9 +31,9 @@ from .robots import allowed
 
 
 class SeenShardState:
-    def __init__(self, shard_id: int, capacity: int = 1 << 20):
+    def __init__(self, shard_id: int, capacity: int = 1 << 20, fp_bits: int = 16):
         self.shard_id = shard_id
-        self.filter = CuckooFilter(capacity)
+        self.filter = CuckooFilter(capacity, fp_bits=fp_bits)
         self._delta: list[np.ndarray] = []
 
     def add_if_absent(self, hashes: np.ndarray) -> np.ndarray:
@@ -181,14 +181,15 @@ class HostShardState:
 def make_actors(num_seen: int, num_host: int, *, seen_capacity: int = 1 << 20,
                 rate: float = 1.0, capacity: float = 2.0,
                 robots_map: dict | None = None,
-                max_pending_per_host: int = 100_000):
+                max_pending_per_host: int = 100_000,
+                seen_fp_bits: int = 16):
     """Create the actor fleets. Seen shards get a fraction of a CPU so
     a large fleet doesn't starve the data plane."""
     import ray
 
     Seen = ray.remote(num_cpus=0.25)(SeenShardState)
     Host = ray.remote(num_cpus=0.25)(HostShardState)
-    seen = [Seen.remote(i, seen_capacity) for i in range(num_seen)]
+    seen = [Seen.remote(i, seen_capacity, seen_fp_bits) for i in range(num_seen)]
     host = [Host.remote(i, rate, capacity, robots_map, max_pending_per_host)
             for i in range(num_host)]
     return seen, host
