@@ -105,12 +105,16 @@ class WebGraph:
         return [self.url(i * 7 % self.n) for i in range(n_seeds)]
 
 
-def host_shard_of(host: str, num_shards: int, salt: int = 0) -> int:
-    """Politeness routing: stable hash of the UNSALTED host, so every
-    salt bucket of a hot host still reaches its one authoritative
-    token bucket."""
+def host_shard_of(host: str, num_shards: int) -> int:
+    """Politeness routing: stable hash of the host. The authoritative
+    token bucket for a host deliberately CANNOT be salted across shards
+    — politeness must be a local decision on one actor. Hot-host skew is
+    handled upstream instead: batch URL dedup before probing
+    (seen_probe_batch), per-batch top-k offer trimming (offer_batch's
+    ``top_per_host``), the per-host frontier cap
+    (HostShardState.max_pending), and batched heapify offers."""
     h = hashlib.blake2b(host.encode(), digest_size=4).digest()
-    return (int.from_bytes(h, "little") + 0 * salt) % num_shards
+    return int.from_bytes(h, "little") % num_shards
 
 
 # ---------------------------------------------------------------------------
@@ -159,8 +163,14 @@ def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
-def offer_batch(batch: pa.Table, host_actors) -> pa.Table:
-    """Stateless-task stage: route new URLs to their HostShard actors."""
+def offer_batch(batch: pa.Table, host_actors, top_per_host: int | None = None) -> pa.Table:
+    """Stateless-task stage: route new URLs to their HostShard actors.
+
+    ``top_per_host``: skew lever — keep only the best (priority, seq)
+    entries per host WITHIN this batch before shipping. Safe whenever it
+    is >= what politeness could admit for one host over the remaining
+    crawl budget (entries beyond that are dead weight); a hot host that
+    dominates a batch then costs O(top_per_host) instead of O(batch)."""
     import ray
 
     urls = batch.column("url").to_pylist()
@@ -172,6 +182,22 @@ def offer_batch(batch: pa.Table, host_actors) -> pa.Table:
     seqs = batch.column("seq").to_pylist()
     keys = batch.column("payload_key").to_pylist()
     depths = batch.column("depth").to_pylist()
+    if top_per_host is not None:
+        by_host: dict[str, list[int]] = {}
+        for i, h in enumerate(hosts):
+            by_host.setdefault(h, []).append(i)
+        keep_rows: list[int] = []
+        for h, rows in by_host.items():
+            if len(rows) > top_per_host:
+                rows = sorted(rows, key=lambda i: (pris[i], seqs[i], urls[i]))[:top_per_host]
+            keep_rows.extend(rows)
+        keep_rows.sort()
+        urls = [urls[i] for i in keep_rows]
+        hosts = [hosts[i] for i in keep_rows]
+        pris = [pris[i] for i in keep_rows]
+        seqs = [seqs[i] for i in keep_rows]
+        keys = [keys[i] for i in keep_rows]
+        depths = [depths[i] for i in keep_rows]
     by_shard: dict[int, list[int]] = {}
     for i, h in enumerate(hosts):
         by_shard.setdefault(host_shard_of(h, n), []).append(i)
