@@ -1,0 +1,211 @@
+"""Dedup-stack unit tests: distributed candidate generation (skew,
+caps), banding coverage (pigeonhole), pair-emit completeness, blocked
+cosine verification, union-find labels."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from warcit_ray.stages.dedup import (
+    HyperplaneBucketer,
+    _blocked_cosine_pairs,
+    banded_hamming_pairs,
+    candidate_pairs_from_bands,
+    components_from_pairs,
+    embedding_near_dups,
+    hamming64,
+    hamming64_arrays,
+    minhash_lsh_dedup,
+    simhash_near_dups,
+)
+
+
+def test_hamming64_arrays_matches_scalar():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 1 << 63, 200, dtype=np.int64)
+    b = rng.integers(0, 1 << 63, 200, dtype=np.int64)
+    got = hamming64_arrays(a.astype(np.uint64), b.astype(np.uint64))
+    want = [hamming64(int(x), int(y)) for x, y in zip(a, b)]
+    assert got.tolist() == want
+
+
+def test_components_from_pairs():
+    rows = components_from_pairs([(5, 3), (3, 1), (10, 11), (7, 7)])
+    labels = dict(rows)
+    assert labels[5] == 1 and labels[3] == 1 and labels[1] == 1
+    assert labels[11] == 10 and labels[10] == 10
+
+
+def test_banding_covers_hamming_6_across_chunks(ray_session):
+    # Two sigs differing in 6 bits spread over ALL four 16-bit chunks:
+    # the old 4x16 banding could never bucket them together; the
+    # 8x8-bit banding (pigeonhole for <=7) must find the pair.
+    base = 0x0123456789ABCDEF
+    diff = base ^ (1 << 0) ^ (1 << 1) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49) ^ (1 << 50)
+    assert hamming64(base, diff) == 6
+    ds = rd.from_items([
+        {"doc_id": 1, "sig": base - (1 << 64) if base >= 1 << 63 else base},
+        {"doc_id": 2, "sig": diff - (1 << 64) if diff >= 1 << 63 else diff},
+        {"doc_id": 3, "sig": 0},
+    ])
+    pairs = banded_hamming_pairs(ds, sig_col="sig", id_col="doc_id", max_hamming=6)
+    assert [(1, 2, 6)] == list(
+        pairs[["id_a", "id_b", "hamming"]].itertuples(index=False, name=None))
+
+
+def test_banding_rejects_unsupported_threshold(ray_session):
+    ds = rd.from_items([{"doc_id": 1, "sig": 0}])
+    with pytest.raises(ValueError):
+        banded_hamming_pairs(ds, sig_col="sig", id_col="doc_id", max_hamming=9)
+
+
+def test_all_pairs_emitted_not_just_bucket_min(ray_session):
+    # doc 1 (bucket min) is an LSH false positive; docs 2 and 3 are the
+    # true near-dup pair. Bucket-min-only pairing would miss (2, 3).
+    far = 0x5555555555555555  # 32 bits away from 0
+    ds = rd.from_items([
+        {"doc_id": 1, "sig": far},
+        {"doc_id": 2, "sig": 1},
+        {"doc_id": 3, "sig": 3},
+    ])
+    # all three share the zero chunks in the upper bytes -> same buckets
+    pairs = banded_hamming_pairs(ds, sig_col="sig", id_col="doc_id", max_hamming=6)
+    assert (2, 3, 1) in list(
+        pairs[["id_a", "id_b", "hamming"]].itertuples(index=False, name=None))
+
+
+def test_candidate_pairs_skewed_bucket_distributed(ray_session):
+    # One bucket with 1e5 members, small_threshold=0 forces the native
+    # groupby (large/scale) path: must complete without materializing
+    # member rows on the driver, bounded by bucket_cap.
+    n = 100_000
+    bands = rd.from_arrow(pa.table({
+        "bkey": pa.array(np.zeros(n, dtype=np.int64)),
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+    }))
+    pairs = candidate_pairs_from_bands(
+        bands, "bkey", "doc_id", bucket_cap=64,
+        n_rows_hint=n, small_threshold=0,
+    )
+    df = pairs.to_pandas()
+    assert len(df) == 64 * 63 // 2  # capped all-pairs
+    assert df["id_a"].max() < 64 and df["id_b"].max() < 64
+
+
+def test_candidate_pairs_paths_agree(ray_session):
+    # small (hot-filter) and large (native groupby) dispatch tiers are
+    # semantically identical
+    rng = np.random.default_rng(3)
+    bkeys = rng.integers(0, 50, 300)
+    bands = rd.from_arrow(pa.table({
+        "bkey": pa.array(bkeys, type=pa.int64()),
+        "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+    }))
+    small = candidate_pairs_from_bands(
+        bands, "bkey", "doc_id", n_rows_hint=300, small_threshold=10**9
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    large = candidate_pairs_from_bands(
+        bands, "bkey", "doc_id", n_rows_hint=300, small_threshold=0
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small[["id_a", "id_b"]], large[["id_a", "id_b"]])
+
+
+def test_minhash_distributed_matches_planted(ray_session):
+    texts = ["alpha beta gamma delta epsilon zeta eta theta %d" % (i % 7)
+             for i in range(60)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    # exact-style dups: same text as doc 0
+    rows.append({"doc_id": 1000, "text": texts[0]})
+    rows.append({"doc_id": 1001, "text": texts[0] + " tail"})
+    dup, _ = minhash_lsh_dedup(rd.from_items(rows), threshold=0.5)
+    df = dup.to_pandas()
+    got = dict(zip(df["doc_id"], df["dup_of"]))
+    assert got.get(1000) == 0
+    assert got.get(1001) == 0
+    # LSH-path dup labels never point upward
+    assert (df["dup_of"] < df["doc_id"]).all()
+
+
+def test_minhash_forced_large_path_same_result(ray_session):
+    rows = [{"doc_id": i, "text": "w%d x y z common tokens here" % (i % 5)}
+            for i in range(40)]
+    d1, _ = minhash_lsh_dedup(rd.from_items(rows), threshold=0.6,
+                              small_threshold=10**9)
+    d2, _ = minhash_lsh_dedup(rd.from_items(rows), threshold=0.6,
+                              small_threshold=0)
+    p1 = d1.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    p2 = d2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_simhash_hamming_verified(ray_session):
+    rows = [{"doc_id": i,
+             "text": " ".join("tok%d" % ((i * 13 + j) % 400) for j in range(40))}
+            for i in range(30)]
+    rows.append({"doc_id": 500, "text": rows[0]["text"]})
+    pairs = simhash_near_dups(rd.from_items(rows), max_hamming=3)
+    assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 500)).any()
+    assert (pairs["hamming"] <= 3).all()
+
+
+def test_blocked_cosine_pairs_matches_naive():
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(300, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    ids = np.arange(300)
+    a, b, s = _blocked_cosine_pairs(ids, v, 0.5, block=64)
+    sims = v @ v.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.5, k=1))
+    got = set(zip(a.tolist(), b.tolist()))
+    want = set(zip(ids[ia].tolist(), ids[ib].tolist()))
+    assert got == want
+
+
+def test_embedding_degenerate_bucket_bounded(ray_session):
+    # 10^4 identical vectors all land in one bucket: the deterministic
+    # member cap + blocked matmul keep memory bounded.
+    n = 10_000
+    vec = np.ones(8, dtype=np.float32).tolist()
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([vec] * n, type=pa.list_(pa.float32())),
+    }))
+    pairs = embedding_near_dups(ds, threshold=0.99, bucket_cap=256)
+    assert len(pairs) == 256 * 255 // 2
+    assert pairs["id_a"].max() < 256
+
+
+def test_hyperplane_bucketer_deterministic_across_actors():
+    b1 = HyperplaneBucketer()
+    b2 = HyperplaneBucketer()
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": pa.array([[0.5] * 8, [-0.5] * 8], type=pa.list_(pa.float32())),
+    })
+    assert b1(t).column("bucket").to_pylist() == b2(t).column("bucket").to_pylist()
+
+
+def test_fingerprint_is_true_horner():
+    # the vectorized fingerprint must equal the exact per-byte Horner
+    # recurrence h = (h*B + byte+1) mod 2^61-1 (the r1 numpy-scalar loop
+    # silently overflowed uint64 at h*B and was NOT this polynomial)
+    import random
+    import string
+
+    from warcit_ray.stages.text import _FP_BASE, _FP_MOD, _WS, fingerprint
+
+    def ref_fp(text):
+        h = 0
+        for b in _WS.sub(" ", text.strip().lower()).encode("utf-8"):
+            h = (h * _FP_BASE + b + 1) % _FP_MOD
+        return h
+
+    rng = random.Random(7)
+    cases = ["", "a", "hello  world", "x" * 65535, "x" * 65536, "y" * 65537,
+             "日本語テキスト" * 50]
+    cases += ["".join(rng.choices(string.printable, k=rng.randint(0, 2000)))
+              for _ in range(50)]
+    for t in cases:
+        assert fingerprint(t) == ref_fp(t)

@@ -417,12 +417,22 @@ class CrawlCheckpoint:
         d = self.gen_dir(g)
         os.makedirs(d, exist_ok=True)
         if records_ds is not None:
+            # write-to-tmp + atomic rename (manifest-last protocol): a
+            # crashed attempt (manifest absent) leaves partial part
+            # files; rerunning the generation must not merge new
+            # uniquely-named parts with stale ones.
+            import shutil
+
             rec_dir = os.path.join(d, "records")
+            tmp_dir = rec_dir + ".tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
             if isinstance(records_ds, pa.Table):
-                os.makedirs(rec_dir, exist_ok=True)
-                pq.write_table(records_ds, os.path.join(rec_dir, "part-0.parquet"))
+                os.makedirs(tmp_dir, exist_ok=True)
+                pq.write_table(records_ds, os.path.join(tmp_dir, "part-0.parquet"))
             else:
-                records_ds.write_parquet(rec_dir)
+                records_ds.write_parquet(tmp_dir)
+            shutil.rmtree(rec_dir, ignore_errors=True)
+            os.rename(tmp_dir, rec_dir)
         pq.write_table(admitted, os.path.join(d, "admitted.parquet"))
         if next_frontier is not None and next_frontier.num_rows:
             # links discovered this generation but not yet offered — they

@@ -89,64 +89,109 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Broadcast semi-join (BUILDING customers -> orders) + broadcast
-    hash join (order dates), revenue aggregated from lineitem, top 10.
-    Small sides ship once via closure capture of driver-built sets."""
+    """Broadcast semi-join (BUILDING customer keys -> orders filter,
+    the only driver-held side and the small one), then a bucketed hash
+    join of the filtered orders against lineitem on the orderkey.
+    Revenue aggregation AND the top-10 both happen inside the join's
+    bucket groups (the bucket key IS the orderkey hash, so every row of
+    an order is co-located): the driver only ever sees 10 rows per
+    bucket. No full-table ``to_pandas`` anywhere."""
+    from ..stages.joins import _with_bucket
+
     cutoff = pd.Timestamp("1995-03-15")
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    build_keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    orders = orders[(orders["o_custkey"].isin(build_keys)) & (orders["o_orderdate"] < cutoff)]
-    odate = dict(zip(orders["o_orderkey"], orders["o_orderdate"]))
-    okeys = frozenset(odate)
+    num_buckets = 16
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["l_shipdate"] > cutoff) & df["l_orderkey"].isin(okeys)]
-        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
-        return (
-            df.assign(rev=rev).groupby("l_orderkey", sort=False)["rev"].sum()
-            .rename("revenue").reset_index()
-        )
+    def building_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["c_mktsegment"] == "BUILDING", ["c_custkey"]]
 
-    parts = (
-        _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-        .map_batches(partial, batch_format="pandas")
-        .to_pandas()
+    build_keys = set(
+        cust.map_batches(building_keys, batch_format="pandas")
+        .to_pandas()["c_custkey"]
     )
-    agg = parts.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
-    agg["revenue"] = agg["revenue"].astype("float64").round(2)
-    agg = agg.rename(columns={"l_orderkey": "o_orderkey"})
-    agg["o_orderdate"] = agg["o_orderkey"].map(odate)
-    agg = agg.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
-    return agg[["o_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
+
+    def order_filter(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["o_custkey"].isin(build_keys) & (df["o_orderdate"] < cutoff)]
+        return df[["o_orderkey", "o_orderdate"]]
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        order_filter, batch_format="pandas")
+
+    def li_prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > cutoff]
+        rev = df["l_extendedprice"] * (1.0 - df["l_discount"])
+        # per-batch partial sum per order: compresses before the shuffle
+        g = rev.groupby(df["l_orderkey"]).sum().rename("rev").reset_index()
+        return g.rename(columns={"l_orderkey": "o_orderkey"})
+
+    lineitem = _rp(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"]).map_batches(li_prep, batch_format="pandas")
+
+    tagged = _with_bucket(orders, "o_orderkey", num_buckets, 0).union(
+        _with_bucket(lineitem, "o_orderkey", num_buckets, 1))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["__side"] == 0][["o_orderkey", "o_orderdate"]]
+        l = g[g["__side"] == 1][["o_orderkey", "rev"]]
+        # merge on empties keeps column dtypes -> uniform group schema
+        m = l.merge(o, on="o_orderkey", how="inner")
+        agg = m.groupby(["o_orderkey", "o_orderdate"], sort=False)["rev"].sum().reset_index()
+        agg["revenue"] = agg["rev"].astype("float64").round(2)
+        agg = agg.sort_values(["revenue", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+        return agg[["o_orderkey", "revenue", "o_orderdate"]]
+
+    parts = tagged.groupby("__bucket").map_groups(
+        bucket_topk, batch_format="pandas").to_pandas()
+    out = parts.sort_values(["revenue", "o_orderkey"],
+                            ascending=[False, True]).head(10)
+    return out[["o_orderkey", "revenue", "o_orderdate"]].reset_index(drop=True)
 
 
 def top_customers(sf_dir: str) -> pd.DataFrame:
-    """orders grouped (partial sums per batch, driver combine), customer
-    names broadcast-joined, top 10."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("o_custkey", sort=False).agg(
-            total_spend=("o_totalprice", "sum"),
-            n_orders=("o_totalprice", "size"),
-        ).reset_index()
+    """High-cardinality grouped aggregation: o_custkey partials do NOT
+    compress (≈ one row per customer per block), so this uses the
+    native ``groupby().aggregate`` shuffle — the right tool at this
+    cardinality regime per partial_then_combine's scale note. Top-10 is
+    taken per output block (sums are already complete per customer
+    after the groupby), so the driver sees 10 rows per block; customer
+    names are fetched for the FINAL ten keys only — nothing
+    customer-table-sized is ever broadcast or collected."""
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Count, Sum
 
-    parts = (
+    agg_ds = (
         _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pandas")
-        .to_pandas()
+        .groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="total_spend"),
+                   Count("o_totalprice", alias_name="n_orders"))
     )
-    agg = parts.groupby("o_custkey", sort=False).agg(
-        total_spend=("total_spend", "sum"), n_orders=("n_orders", "sum")
-    ).reset_index()
-    names = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).to_pandas()
-    name_of = dict(zip(names["c_custkey"], names["c_name"]))
-    agg["c_name"] = agg["o_custkey"].map(name_of)
-    agg["total_spend"] = agg["total_spend"].astype("float64").round(2)
-    agg["n_orders"] = agg["n_orders"].astype("int64")
-    agg = agg.sort_values(["total_spend", "o_custkey"], ascending=[False, True]).head(10)
-    return agg.rename(columns={"o_custkey": "c_custkey"})[
-        ["c_custkey", "c_name", "total_spend", "n_orders"]
-    ].reset_index(drop=True)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["total_spend"] = df["total_spend"].astype("float64").round(2)
+        return df.sort_values(["total_spend", "o_custkey"],
+                              ascending=[False, True]).head(10)
+
+    parts = agg_ds.map_batches(block_topk, batch_format="pandas",
+                               batch_size=None).to_pandas()
+    top = parts.sort_values(["total_spend", "o_custkey"],
+                            ascending=[False, True]).head(10)
+
+    top_keys = pa.array(top["o_custkey"].astype("int64"), type=pa.int64())
+
+    def pick_names(t: pa.Table) -> pa.Table:
+        return t.filter(pc_.is_in(t["c_custkey"], value_set=top_keys))
+
+    names = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        pick_names, batch_format="pyarrow").to_pandas()
+    out = top.rename(columns={"o_custkey": "c_custkey"}).merge(
+        names, on="c_custkey", how="left")
+    out["total_spend"] = out["total_spend"].astype("float64").round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out[["c_custkey", "c_name", "total_spend", "n_orders"]].reset_index(drop=True)
 
 
 def priority_revenue(sf_dir: str) -> pd.DataFrame:
@@ -622,13 +667,14 @@ def image_features(sf_dir: str) -> pd.DataFrame:
 
 
 def phash_near_dup(sf_dir: str) -> pd.DataFrame:
-    """Image near-dup by perceptual-hash hamming distance, bucketed on
-    16-bit phash chunks (same banding idea as simhash)."""
+    """Image near-dup by perceptual-hash hamming distance — the shared
+    distributed banding path (stages.dedup.banded_hamming_pairs): chunk
+    buckets sized for the threshold by pigeonhole, pair emit + popcount
+    verify inside the band groupby, distributed pair dedup."""
     import ray.data as rd
 
-    from ..stages.dedup import hamming64
-
     from ..codecs import decode, encode, phash64
+    from ..stages.dedup import banded_hamming_pairs
 
     corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 200))
     base = corpus.select(["image_id", "phash"]).to_pandas()
@@ -642,37 +688,10 @@ def phash_near_dup(sf_dir: str) -> pd.DataFrame:
                         "phash": np.int64(np.uint64(phash64(lossy)).astype(np.int64))})
     ds = rd.from_pandas(pd.concat([base, pd.DataFrame(planted)], ignore_index=True))
 
-    from ..stages.dedup import collect_hot_groups
-
-    def chunk_rows(t: pa.Table) -> pa.Table:
-        ids = t["image_id"].to_pylist()
-        ph = t["phash"].to_pylist()
-        rows = {"bkey": [], "image_id": [], "phash": []}
-        for i, p in zip(ids, ph):
-            u = p & ((1 << 64) - 1)
-            for c in range(4):
-                rows["bkey"].append((((u >> (16 * c)) & 0xFFFF) << 3) | c)
-                rows["image_id"].append(i)
-                rows["phash"].append(p)
-        return pa.table(rows)
-
-    hot = collect_hot_groups(
-        ds.map_batches(chunk_rows, batch_format="pyarrow"), "bkey", "image_id",
-        ["phash"],
-    )
-    a, b, d = [], [], []
-    for _, g in hot.groupby("bkey", sort=False):
-        g = g.drop_duplicates("image_id").sort_values("image_id")
-        ids, ph = g["image_id"].tolist(), g["phash"].tolist()
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                h = hamming64(ph[x], ph[y])
-                if h <= 6:
-                    a.append(ids[x]); b.append(ids[y]); d.append(h)
-    pairs = pd.DataFrame({"id_a": a, "id_b": b, "hamming": d})
+    pairs = banded_hamming_pairs(ds, sig_col="phash", id_col="image_id",
+                                 max_hamming=6, id_type=pa.string())
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
                              "id_b": pd.Series([], dtype="object"),
                              "hamming": pd.Series([], dtype="int64")})
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"])
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

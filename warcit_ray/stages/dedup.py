@@ -6,13 +6,27 @@ Shuffle discipline (the 100 TB design point):
   aggregation inside map_batches (one row per hash per batch) -> one
   small groupby over partials. The full rows never shuffle.
 - MinHash LSH: signatures per batch -> explode to (band, band_hash,
-  doc) rows -> single groupby on the band key -> candidate pairs ->
-  exact-Jaccard verify per group. Only (band, hash, id) triples — not
-  documents — cross the wire.
-- SimHash: 64-bit signature per doc; banding on 4x16-bit chunks gives
-  candidates for hamming<=3-style thresholds; verified by popcount.
+  doc) rows -> DISTRIBUTED candidate-pair emit (groupby on the band
+  key with a per-bucket member cap) -> distributed pair dedup ->
+  DISTRIBUTED exact-Jaccard verify (bucketed hash join of pair sides
+  against the corpus, jaccard computed inside groupby(pair) groups).
+  Only (band, hash, id) triples, (id_a, id_b) pairs and per-pair text
+  rows cross the wire; nothing corpus-sized ever lands on the driver.
+- SimHash / pHash: 64-bit signature per doc; chunk banding (pigeonhole:
+  ``n_chunks >= max_hamming + 1`` exact chunks guarantee every
+  qualifying pair shares a bucket); candidates emitted AND
+  popcount-verified inside the band groupby, distributed.
 - embedding near-dup: random-hyperplane signatures bucket the vectors;
-  exact cosine verifies within buckets.
+  exact cosine verifies within buckets with a blocked (memory-bounded)
+  pairwise matmul and a deterministic per-bucket member cap.
+
+Candidate generation is size-gated like the crawl dispatch tiers
+(pipelines/crawl.py): small band tables use a two-pass hot-bucket
+filter (per-batch counts -> tiny (bkey, n) partials -> broadcast-set
+filter) so only collision buckets enter the groupby; large band tables
+go straight to the native ``groupby(bkey)`` shuffle, whose cost is the
+honest price at 10^10-doc scale. BOTH paths emit pairs inside
+``map_groups`` — member rows never materialize on the driver.
 """
 
 from __future__ import annotations
@@ -74,6 +88,45 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
+# worker-process shingle cache for the pair-verify stage: a doc that
+# participates in many candidate pairs is shingled once per worker, not
+# once per pair (same pattern as pipelines/crawl._CORPUS_CACHE)
+_SHINGLE_CACHE: dict = {}
+_SHINGLE_CACHE_MAX = 200_000
+
+
+def _tok_hash_plain(tok: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def shingle_hashes(text: str, k: int = 3,
+                   tok_hash=None) -> np.ndarray:
+    """Unique 64-bit hashes of the k-token shingles of ``text`` — the
+    set whose Jaccard similarity defines near-duplication. Token hashes
+    come from blake2b; shingle hashes are a vectorized rolling
+    polynomial over the token-hash array (no per-shingle hashlib)."""
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    th = np.array([(tok_hash or _tok_hash_plain)(t) for t in toks], dtype=np.uint64)
+    k = min(k, len(th))
+    acc = th[: len(th) - k + 1].copy()
+    for j in range(1, k):
+        acc = acc * np.uint64(0x9E3779B97F4A7C15) + th[j: len(th) - k + 1 + j]
+    return np.unique(acc)
+
+
+def _cached_shingle_set(doc_key, text: str, k: int) -> set:
+    got = _SHINGLE_CACHE.get((doc_key, k))
+    if got is None:
+        if len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
+            _SHINGLE_CACHE.clear()
+        got = set(shingle_hashes(text or "", k).tolist())
+        _SHINGLE_CACHE[(doc_key, k)] = got
+    return got
+
 
 class MinHasher:
     """Word-shingle MinHash signatures. Actor-pool class: the
@@ -95,23 +148,12 @@ class MinHasher:
         if h is None:
             if len(self._tok_cache) > 1_000_000:
                 self._tok_cache.clear()
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
-            )
+            h = _tok_hash_plain(tok)
             self._tok_cache[tok] = h
         return h
 
     def shingles(self, text: str) -> np.ndarray:
-        toks = text.split()
-        if not toks:
-            return np.empty(0, dtype=np.uint64)
-        th = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
-        k = min(self.k, len(th))
-        # rolling polynomial combine over a sliding window of width k
-        acc = th[: len(th) - k + 1].copy()
-        for j in range(1, k):
-            acc = acc * np.uint64(0x9E3779B97F4A7C15) + th[j: len(th) - k + 1 + j]
-        return np.unique(acc)
+        return shingle_hashes(text, self.k, self._tok_hash)
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -158,91 +200,240 @@ def jaccard(a: set, b: set) -> float:
     return len(a & b) / max(1, len(a | b))
 
 
-def collect_hot_groups(rows_ds, bkey_col: str, id_col: str,
-                       extra_cols: list[str] | None = None) -> pd.DataFrame:
-    """Two-pass hot-bucket detection for LSH-family candidate generation.
+# ---------------------------------------------------------------------------
+# distributed candidate-pair generation (shared by minhash / simhash / phash)
+# ---------------------------------------------------------------------------
 
-    Collision buckets (>= 2 members) are a tiny fraction of all buckets,
-    so instead of a groupby+map_groups over millions of mostly-singleton
-    groups (measured: dominated by per-group overhead), this does:
-      pass 1: per-batch pandas value_counts -> driver combine -> the
-              small set of hot bucket keys;
-      pass 2: broadcast-set semi-join filter inside map_batches -> only
-              hot-bucket member rows reach the driver.
-    """
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        c = df[bkey_col].value_counts()
-        return pd.DataFrame({bkey_col: c.index, "n": c.values})
-
-    counts = rows_ds.map_batches(count_partial, batch_format="pandas").to_pandas()
-    total = counts.groupby(bkey_col, sort=False)["n"].sum()
-    hot = set(total[total >= 2].index)
-    if not hot:
-        cols = [bkey_col, id_col] + (extra_cols or [])
-        return pd.DataFrame({c: [] for c in cols})
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[bkey_col].isin(hot)]
-
-    return rows_ds.map_batches(pick, batch_format="pandas").to_pandas()
+_TRIU_CACHE: dict[int, tuple] = {}
 
 
-def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
-                      shingle_k: int = 3, threshold: float = 0.8,
-                      id_col: str = "doc_id", concurrency: int = 2):
-    """Full near-dup pipeline -> Dataset(doc_id, dup_of) for docs whose
-    verified Jaccard >= threshold with a lower-id doc.
+def _triu(n: int) -> tuple:
+    got = _TRIU_CACHE.get(n)
+    if got is None:
+        if len(_TRIU_CACHE) > 512:
+            _TRIU_CACHE.clear()
+        got = np.triu_indices(n, k=1)
+        _TRIU_CACHE[n] = got
+    return got
 
-    Candidate pairs come from band-bucket collisions; verification
-    recomputes exact shingle Jaccard for the pair (textual truth, so an
-    LSH false positive cannot create a false duplicate)."""
-    import ray
-    import ray.data as rd
 
-    with_sig = ds.map_batches(
-        MinHasher, fn_constructor_args=(num_perm, shingle_k),
-        batch_format="pyarrow", concurrency=concurrency,
-    ).materialize()
+def _emit_pairs_bulk(df: pd.DataFrame, bkey_col: str, id_col: str,
+                     bucket_cap: int, extra_cols: list[str]) -> pd.DataFrame:
+    """ALL within-bucket pairs for EVERY bucket in ``df``, in one
+    vectorized pass (no per-bucket pandas objects — measured 1-2 ms per
+    bucket frame, which dominates at thousands of collision buckets).
 
-    bands = with_sig.map_batches(
-        lambda b: lsh_band_rows(b, num_bands, id_col), batch_format="pyarrow"
-    )
-    hot = collect_hot_groups(bands, "bkey", id_col)
-    if len(hot) == 0:
-        return rd.from_items([]), with_sig
-    # hot-bucket member rows are small: emit (bucket-min, other) pairs
-    # in one vectorized pandas pass
-    hot = hot.sort_values([id_col]).drop_duplicates(["bkey", id_col])
-    gmin = hot.groupby("bkey", sort=False)[id_col].transform("min")
-    pairs = hot[hot[id_col] != gmin].assign(id_a=gmin[hot[id_col] != gmin])
-    pairs = pairs.rename(columns={id_col: "id_b"})[["id_a", "id_b"]]
-    if len(pairs) == 0:
-        return rd.from_items([]), with_sig
-    pairs = pairs.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
+    All pairs, not just bucket-min pairs: an LSH false positive as the
+    bucket minimum must not hide true pairs among the other members.
+    Deterministic cap: members sorted by id, first ``bucket_cap`` kept,
+    so a degenerate bucket costs O(cap^2) not O(n^2). Emits a ``pkey``
+    string for pair dedup."""
+    cols = ["id_a", "id_b", "pkey"] + ["%s_a" % c for c in extra_cols] \
+        + ["%s_b" % c for c in extra_cols]
+    df = df.drop_duplicates([bkey_col, id_col]).sort_values([bkey_col, id_col])
+    keys = df[bkey_col].to_numpy()
+    ids = df[id_col].to_numpy()
+    _, starts, counts = np.unique(keys, return_index=True, return_counts=True)
+    ia_parts, ib_parts = [], []
+    for s, c in zip(starts, counts):
+        if c < 2:
+            continue
+        ia, ib = _triu(min(int(c), bucket_cap))
+        ia_parts.append(ia + s)
+        ib_parts.append(ib + s)
+    if ia_parts:
+        IA = np.concatenate(ia_parts)
+        IB = np.concatenate(ib_parts)
+    else:
+        IA = IB = np.empty(0, dtype=np.int64)
+    out = pd.DataFrame({"id_a": ids[IA], "id_b": ids[IB]})
+    out["pkey"] = out["id_a"].astype(str) + "|" + out["id_b"].astype(str)
+    for c in extra_cols:
+        v = df[c].to_numpy()
+        out["%s_a" % c] = v[IA]
+        out["%s_b" % c] = v[IB]
+    return out[cols]
 
-    # verify with exact shingle jaccard (texts fetched for the candidate
-    # ids only — candidates are a tiny fraction of the corpus, so the
-    # fetch is a broadcast-set semi-join filter inside map_batches)
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    cand_arr = pa.array(sorted(cand_ids), type=pa.int64())
 
-    def pick(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
+                               extra_cols: list[str] | None = None,
+                               bucket_cap: int = 256,
+                               n_rows_hint: int | None = None,
+                               small_threshold: int = 2_000_000,
+                               pair_filter=None):
+    """Band rows -> Dataset of DISTINCT candidate pairs
+    (id_a, id_b [, extra_a/extra_b...]), entirely distributed.
 
-        return b.select([id_col, "text"]).filter(pc.is_in(b[id_col], value_set=cand_arr))
+    Size-gated dispatch (crawl-style tiers, semantically identical —
+    tested against each other in tests/test_dedup.py):
+    - small band tables (<= ``small_threshold`` rows): two-pass
+      hot-bucket detection — per-batch value_counts partials (tiny
+      (bkey, n) rows) combine on the driver into the hot-key set, which
+      broadcasts back as an ``isin`` filter; the surviving
+      collision-bucket rows (small by construction) are coalesced into
+      ONE block (``repartition(1)`` — object store, NOT the driver) and
+      a single task runs the pandas groupby-emit + pair dedup at C
+      speed. No sort shuffle at all.
+    - large band tables: native ``groupby(bkey)`` over everything
+      (singleton groups emit nothing), then a distributed
+      ``groupby(pkey)`` removes cross-band duplicate pairs. No driver
+      pass at all — the honest all-to-all price at 10^10-doc scale.
 
-    picked = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    texts = dict(zip(picked[id_col], picked["text"]))
-    mh = MinHasher(num_perm, shingle_k)
-    sh_cache = {i: set(mh.shingles(texts[i]).tolist()) for i in cand_ids}
-    keep = []
-    for ia, ib in zip(pairs["id_a"], pairs["id_b"]):
-        if jaccard(sh_cache[ia], sh_cache[ib]) >= threshold:
-            keep.append((min(ia, ib), max(ia, ib)))
-    if not keep:
-        return rd.from_items([]), with_sig
-    # union-find on the (small) verified pair set -> dup_of = component min
-    parent: dict[int, int] = {}
+    Pair emit happens inside distributed tasks in BOTH paths; member
+    rows never reach the driver. ``pair_filter(df)`` (optional) runs
+    inside the emit step — e.g. hamming verification — so rejected
+    pairs never shuffle further."""
+
+    extra_cols = extra_cols or []
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        out = _emit_pairs_bulk(g, bkey_col, id_col, bucket_cap, extra_cols)
+        if pair_filter is not None:
+            out = pair_filter(out)  # applied to empties too: uniform schema
+        return out
+
+    n_rows = n_rows_hint
+    if n_rows is None:
+        n_rows = bands.count()
+
+    if n_rows <= small_threshold:
+        # consumed twice below (count pass + pick pass): pin the band
+        # rows in the object store instead of re-running their lineage.
+        # Gated: only the small tier materializes.
+        bands = bands.materialize()
+
+        def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = df[bkey_col].value_counts()
+            return pd.DataFrame({bkey_col: c.index, "n": c.values})
+
+        counts = bands.map_batches(count_partial, batch_format="pandas").to_pandas()
+        total = counts.groupby(bkey_col, sort=False)["n"].sum()
+        hot = set(total[total >= 2].index)
+        if not hot:
+            return None
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[bkey_col].isin(hot)]
+
+        def emit_all(df: pd.DataFrame) -> pd.DataFrame:
+            out = emit(df)  # bulk emit handles every bucket in the block
+            out = out.drop_duplicates("pkey")
+            return out.drop(columns=["pkey"])
+
+        return (
+            bands.map_batches(pick, batch_format="pandas")
+            .repartition(1)
+            .map_batches(emit_all, batch_format="pandas", batch_size=None)
+        )
+
+    pairs = bands.groupby(bkey_col).map_groups(emit, batch_format="pandas")
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    distinct = pairs.groupby("pkey").map_groups(first, batch_format="pandas")
+    return distinct.drop_columns(["pkey"])
+
+
+def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
+                         text_col: str = "text", threshold: float = 0.8,
+                         shingle_k: int = 3, num_buckets: int = 8):
+    """Distributed exact-Jaccard verification of candidate pairs.
+
+    pair sides (pkey, id) bucketed-hash-join against the corpus on the
+    id (an inner join, so it is also the semi-join that prunes
+    non-candidate docs), then ``groupby(pkey)`` brings the two texts of
+    each pair into one group where the shingle Jaccard is computed
+    (worker-cached shingles via _SHINGLE_CACHE). Returns a Dataset of
+    (id_a, id_b, jaccard) for pairs passing ``threshold``. Only pair
+    rows and per-pair text copies cross the wire."""
+    from .joins import bucketed_hash_join
+
+    def sides(t: pa.Table) -> pa.Table:
+        ida = t.column("id_a").to_pylist()
+        idb = t.column("id_b").to_pylist()
+        pkeys = ["%s|%s" % (a, b) for a, b in zip(ida, idb)]
+        return pa.table(
+            {
+                "pkey": pa.array(pkeys + pkeys, type=pa.string()),
+                id_col: pa.array(ida + idb, type=pa.int64()),
+            }
+        )
+
+    sides_ds = pairs_ds.map_batches(sides, batch_format="pyarrow")
+    docs2 = docs_ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    joined = bucketed_hash_join(sides_ds, docs2, id_col, num_buckets=num_buckets)
+
+    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        g = g.drop_duplicates(id_col)
+        if len(g) != 2:
+            return empty  # a side missing from the corpus
+        ids = sorted(int(x) for x in g[id_col])
+        texts = dict(zip(g[id_col].astype("int64"), g[text_col]))
+        sh = [_cached_shingle_set(i, texts[i], shingle_k) for i in ids]
+        j = jaccard(sh[0], sh[1])
+        if j < threshold:
+            return empty
+        return pd.DataFrame({"id_a": [ids[0]], "id_b": [ids[1]],
+                             "jaccard": [float(j)]})
+
+    return joined.groupby("pkey").map_groups(pair_jaccard, batch_format="pandas")
+
+
+def _verify_jaccard_small(pair_df: pd.DataFrame, docs_ds, *,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          threshold: float = 0.8,
+                          shingle_k: int = 3) -> pd.DataFrame:
+    """Small-tier Jaccard verify (gated by the same threshold as the
+    candidate tiers): the driver holds only the (id_a, id_b) pair list;
+    candidate docs are semi-join filtered and shingled DISTRIBUTED,
+    coalesced into one object-store block, and a single task computes
+    every pair's Jaccard — texts and shingles never touch the driver."""
+    import pyarrow.compute as pc
+
+    cand_ids = sorted(set(pair_df["id_a"]) | set(pair_df["id_b"]))
+    cand_arr = pa.array([int(x) for x in cand_ids], type=pa.int64())
+
+    def pick_and_shingle(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, text_col]).filter(
+            pc.is_in(t[id_col], value_set=cand_arr))
+        sh = [shingle_hashes(x or "", shingle_k).astype(np.int64).tolist()
+              for x in t.column(text_col).to_pylist()]
+        return pa.table({id_col: t[id_col],
+                         "shingles": pa.array(sh, type=pa.list_(pa.int64()))})
+
+    sub = docs_ds.map_batches(pick_and_shingle, batch_format="pyarrow").repartition(1)
+
+    pairs = list(zip(pair_df["id_a"].astype("int64"),
+                     pair_df["id_b"].astype("int64")))
+
+    def verify(t: pa.Table) -> pa.Table:
+        sh = {i: set(s) for i, s in zip(t.column(id_col).to_pylist(),
+                                        t.column("shingles").to_pylist())}
+        out_a, out_b, out_j = [], [], []
+        for a, b in pairs:
+            j = jaccard(sh.get(a, set()), sh.get(b, set()))
+            if j >= threshold:
+                lo, hi = (a, b) if a < b else (b, a)
+                out_a.append(lo); out_b.append(hi); out_j.append(float(j))
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return sub.map_batches(verify, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+
+
+def components_from_pairs(pairs: list[tuple]) -> list[tuple]:
+    """Union-find over verified duplicate pairs -> sorted
+    (member, component_min) rows, members != min only. Runs on the
+    driver: verified pairs are the job's small output, and connected
+    components are inherently sequential."""
+    parent: dict = {}
 
     def find(x):
         while parent.get(x, x) != x:
@@ -250,16 +441,65 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
             x = parent[x]
         return x
 
-    for a, b in keep:
+    for a, b in pairs:
         ra, rb = find(a), find(b)
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
-    rows = sorted(
-        {(b, find(b)) for a, b in keep} | {(a, find(a)) for a, b in keep}
+    members = {m for p in pairs for m in p}
+    return sorted((m, find(m)) for m in members)
+
+
+def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.8,
+                      id_col: str = "doc_id", concurrency: int = 2,
+                      bucket_cap: int = 256,
+                      small_threshold: int = 2_000_000):
+    """Full near-dup pipeline -> Dataset(doc_id, dup_of) for docs whose
+    verified Jaccard >= threshold with a lower-id doc.
+
+    Every stage is distributed: signatures (actor pool) -> band rows ->
+    candidate pairs (groupby(bkey) map_groups, all-pairs with cap) ->
+    distinct pairs (groupby(pkey)) -> exact-Jaccard verify (bucketed
+    join + groupby(pkey)). Only the verified pair list — the actual
+    result — reaches the driver, for the union-find component labels."""
+    import ray.data as rd
+
+    with_sig = ds.map_batches(
+        MinHasher, fn_constructor_args=(num_perm, shingle_k),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).materialize()
+    n_docs = with_sig.count()
+
+    bands = with_sig.map_batches(
+        lambda b: lsh_band_rows(b, num_bands, id_col), batch_format="pyarrow"
     )
+    small = n_docs * num_bands <= small_threshold
+    pairs = candidate_pairs_from_bands(
+        bands, "bkey", id_col, bucket_cap=bucket_cap,
+        n_rows_hint=n_docs * num_bands, small_threshold=small_threshold,
+    )
+    if pairs is None:
+        return rd.from_items([]), with_sig
+
+    if small:
+        pair_df = pairs.to_pandas()  # (id_a, id_b) only — small tier
+        if len(pair_df) == 0:
+            return rd.from_items([]), with_sig
+        verified = _verify_jaccard_small(
+            pair_df, ds, id_col=id_col, threshold=threshold,
+            shingle_k=shingle_k)
+    else:
+        verified = verify_jaccard_pairs(
+            pairs, ds, id_col=id_col, threshold=threshold, shingle_k=shingle_k
+        ).to_pandas()
+    if len(verified) == 0:
+        return rd.from_items([]), with_sig
+    keep = list(zip(verified["id_a"].astype("int64"),
+                    verified["id_b"].astype("int64")))
+    rows = components_from_pairs(keep)
     dup = rd.from_items(
-        [{"doc_id": d, "dup_of": r} for d, r in rows if d != r]
+        [{"doc_id": int(d), "dup_of": int(r)} for d, r in rows if d != r]
     )
     return dup, with_sig
 
@@ -283,9 +523,7 @@ class SimHasher:
         if h is None:
             if len(self._tok_cache) > 1_000_000:
                 self._tok_cache.clear()
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(), "little"
-            )
+            h = _tok_hash_plain(tok)
             self._tok_cache[tok] = h
         return h
 
@@ -311,42 +549,109 @@ def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & ((1 << 64) - 1)).count("1")
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def hamming64_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a ^ b over uint64 arrays (8-bit LUT)."""
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+    out = np.zeros(x.shape, dtype=np.int64)
+    for s in range(0, 64, 8):
+        out += _POP8[((x >> np.uint64(s)) & np.uint64(0xFF)).astype(np.int64)]
+    return out
+
+
+def sig_chunk_rows(batch: pa.Table, *, sig_col: str, id_col: str,
+                   n_chunks: int, id_type=pa.int64()) -> pa.Table:
+    """Explode a 64-bit signature into ``n_chunks`` equal-width chunk
+    buckets (pigeonhole banding: two sigs within hamming distance
+    ``n_chunks - 1`` share at least one exact chunk)."""
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    ids = batch.column(id_col).to_pylist()
+    sigs = batch.column(sig_col).to_pylist()
+    rows = {"bkey": [], id_col: [], "sig": []}
+    for i, s in zip(ids, sigs):
+        u = s & ((1 << 64) - 1)
+        for c in range(n_chunks):
+            rows["bkey"].append((((u >> (width * c)) & mask) << 4) | c)
+            rows[id_col].append(i)
+            rows["sig"].append(s)
+    return pa.table(
+        {
+            "bkey": pa.array(rows["bkey"], type=pa.int64()),
+            id_col: pa.array(rows[id_col], type=id_type),
+            "sig": pa.array(rows["sig"], type=pa.int64()),
+        }
+    )
+
+
+def banded_hamming_pairs(ds, *, sig_col: str, id_col: str, max_hamming: int,
+                         bucket_cap: int = 256,
+                         small_threshold: int = 2_000_000,
+                         id_type=pa.int64()) -> pd.DataFrame:
+    """Distributed near-dup pairs by signature hamming distance (used by
+    SimHash text near-dup and pHash image near-dup).
+
+    Chunk count adapts to the threshold: pigeonhole requires
+    ``n_chunks >= max_hamming + 1`` (8x8-bit chunks cover hamming<=7;
+    4x16-bit only covers <=3 — using 4 chunks at hamming 6 silently
+    loses pairs whose differing bits span all four chunks).
+    Hamming verification runs inside the emit group (vectorized LUT
+    popcount), so non-qualifying pairs never shuffle."""
+    if max_hamming > 7:
+        raise ValueError("banded_hamming_pairs supports max_hamming <= 7 "
+                         "(8 chunks of 8 bits); got %d" % max_hamming)
+    n_chunks = 4 if max_hamming <= 3 else 8
+    n_docs = ds.count()
+
+    chunks = ds.map_batches(
+        lambda b: sig_chunk_rows(b, sig_col=sig_col, id_col=id_col,
+                                 n_chunks=n_chunks, id_type=id_type),
+        batch_format="pyarrow",
+    )
+
+    def ham_filter(df: pd.DataFrame) -> pd.DataFrame:
+        d = hamming64_arrays(df["sig_a"].to_numpy().astype(np.uint64),
+                             df["sig_b"].to_numpy().astype(np.uint64))
+        out = df.assign(hamming=d)
+        return out[out["hamming"] <= max_hamming]
+
+    pairs = candidate_pairs_from_bands(
+        chunks, "bkey", id_col, extra_cols=["sig"], bucket_cap=bucket_cap,
+        n_rows_hint=n_docs * n_chunks, small_threshold=small_threshold,
+        pair_filter=ham_filter,
+    )
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="object"),
+                          "id_b": pd.Series([], dtype="object"),
+                          "hamming": pd.Series([], dtype="int64")})
+    if pairs is None:
+        return empty
+    out = pairs.to_pandas()
+    if len(out) == 0:
+        return empty
+    out["hamming"] = out["hamming"].astype("int64")
+    return out[["id_a", "id_b", "hamming"]].sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+
+
 def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
-                      concurrency: int = 2) -> pd.DataFrame:
-    """Candidates via 4x16-bit chunk banding (any hamming<=3 pair shares
-    at least one exact chunk by pigeonhole), verified by popcount."""
+                      concurrency: int = 2,
+                      small_threshold: int = 2_000_000) -> pd.DataFrame:
+    """SimHash near-dup pairs, fully distributed (see
+    banded_hamming_pairs for the banding + verify discipline)."""
     with_sig = ds.map_batches(SimHasher, batch_format="pyarrow",
                               concurrency=concurrency).materialize()
-
-    def chunk_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sigs = batch.column("simhash").to_pylist()
-        rows = {"bkey": [], id_col: [], "sig": []}
-        for i, s in zip(ids, sigs):
-            u = s & ((1 << 64) - 1)
-            for c in range(4):
-                rows["bkey"].append((((u >> (16 * c)) & 0xFFFF) << 3) | c)
-                rows[id_col].append(i)
-                rows["sig"].append(s)
-        return pa.table(rows)
-
-    chunks = with_sig.map_batches(chunk_rows, batch_format="pyarrow")
-    hot = collect_hot_groups(chunks, "bkey", id_col, ["sig"])
-    if len(hot) == 0:
-        return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-    out_a, out_b, out_d = [], [], []
-    for _, g in hot.groupby("bkey", sort=False):
-        g = g.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sigs = g["sig"].tolist()
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = hamming64(sigs[x], sigs[y])
-                if d <= max_hamming:
-                    out_a.append(ids[x]); out_b.append(ids[y]); out_d.append(d)
-    pairs = pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+    pairs = banded_hamming_pairs(
+        with_sig, sig_col="simhash", id_col=id_col, max_hamming=max_hamming,
+        small_threshold=small_threshold,
+    )
     if len(pairs):
-        pairs = pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+        pairs = pairs.astype({"id_a": "int64", "id_b": "int64"})
+    else:
+        pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "hamming": pd.Series([], dtype="int64")})
     return pairs
 
 
@@ -354,39 +659,89 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+class HyperplaneBucketer:
+    """Actor-pool stage: random-hyperplane LSH bucket ids for an
+    embedding column. The plane matrix is generated once per actor
+    (seeded, so every actor derives the identical matrix) and cached by
+    dimensionality."""
+
+    def __init__(self, vec_col: str = "embedding", num_planes: int = 12,
+                 seed: int = 5):
+        self.vec_col = vec_col
+        self.num_planes = num_planes
+        self.seed = seed
+        self._planes: dict[int, np.ndarray] = {}
+
+    def _planes_for(self, dim: int) -> np.ndarray:
+        p = self._planes.get(dim)
+        if p is None:
+            p = np.random.default_rng(self.seed).normal(
+                size=(dim, self.num_planes)).astype(np.float32)
+            self._planes[dim] = p
+        return p
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(),
+                          dtype=np.float32)
+        if len(vecs) == 0:
+            return batch.append_column("bucket", pa.array([], type=pa.int64()))
+        signs = (vecs @ self._planes_for(vecs.shape[1])) > 0
+        bucket = signs.dot(1 << np.arange(self.num_planes)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket))
+
+
+def _blocked_cosine_pairs(ids: np.ndarray, v: np.ndarray, threshold: float,
+                          block: int = 1024):
+    """All-pairs cosine >= threshold with memory bounded at
+    O(block^2): the similarity matrix is computed block x block, never
+    n x n, so a degenerate bucket cannot blow a worker's heap."""
+    out_a, out_b, out_s = [], [], []
+    n = len(ids)
+    for i0 in range(0, n, block):
+        vi = v[i0: i0 + block]
+        for j0 in range(i0, n, block):
+            sims = vi @ v[j0: j0 + block].T
+            if i0 == j0:
+                ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
+            else:
+                ia, ib = np.nonzero(sims >= threshold)
+            out_a.append(ids[i0 + ia])
+            out_b.append(ids[j0 + ib])
+            out_s.append(sims[ia, ib].astype("float64"))
+    if not out_a:
+        return np.array([]), np.array([]), np.array([])
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_s)
+
+
 def embedding_near_dups(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
                         vec_col: str = "embedding", num_planes: int = 12,
-                        seed: int = 5) -> pd.DataFrame:
+                        seed: int = 5, bucket_cap: int = 4096,
+                        concurrency: int = 2) -> pd.DataFrame:
     """Random-hyperplane LSH buckets + exact cosine verify within bucket.
-    Returns (id_a, id_b, cosine) pairs with cosine >= threshold."""
-    rng = np.random.default_rng(seed)
+    Returns (id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        import numpy as _np
-
-        vecs = _np.asarray(batch.column(vec_col).to_pylist(), dtype=_np.float32)
-        dim = vecs.shape[1] if len(vecs) else 0
-        planes = _np.random.default_rng(seed).normal(size=(dim, num_planes)).astype(_np.float32)
-        signs = (vecs @ planes) > 0
-        bucket = signs.dot(1 << _np.arange(num_planes)).astype(_np.int64)
-        return batch.append_column("bucket", pa.array(bucket))
+    Scale guards: plane matrix lives in the actor (HyperplaneBucketer);
+    the per-bucket verify caps members deterministically (sorted by id,
+    first ``bucket_cap``) and runs a blocked matmul so both compute and
+    memory stay bounded on a degenerate bucket (e.g. all-zero vectors
+    all landing in bucket 0)."""
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(id_col)
+        if len(g) > bucket_cap:
+            g = g.head(bucket_cap)
         ids = g[id_col].to_numpy()
         vecs = np.asarray(g[vec_col].tolist(), dtype=np.float32)
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1
         v = vecs / norm
-        sims = v @ v.T
-        ia, ib = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame(
-            {"id_a": ids[ia], "id_b": ids[ib],
-             "cosine": sims[ia, ib].astype("float64")}
-        )
+        a, b, s = _blocked_cosine_pairs(ids, v, threshold)
+        return pd.DataFrame({"id_a": a, "id_b": b, "cosine": s})
 
     pairs = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
+        ds.map_batches(HyperplaneBucketer,
+                       fn_constructor_args=(vec_col, num_planes, seed),
+                       batch_format="pyarrow", concurrency=concurrency)
         .groupby("bucket")
         .map_groups(emit_pairs, batch_format="pandas")
         .to_pandas()

@@ -104,20 +104,58 @@ class LangId:
         return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
 
 
-_FP_MOD = np.uint64((1 << 61) - 1)
-_FP_BASE = np.uint64(1_000_003)
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1_000_003
+_FP_CHUNK = 1 << 16
+
+# B^j mod M for j in [0, _FP_CHUNK] (index c gives the per-chunk shift)
+_FP_POW = np.empty(_FP_CHUNK + 1, dtype=np.uint64)
+_p = 1
+for _j in range(_FP_CHUNK + 1):
+    _FP_POW[_j] = _p
+    _p = (_p * _FP_BASE) % _FP_MOD
+
+_MASK30 = np.uint64((1 << 30) - 1)
+_MASK31 = np.uint64((1 << 31) - 1)
+_MASK32 = np.uint64((1 << 32) - 1)
+
+
+def _chunk_poly_mod(d: np.ndarray) -> int:
+    """sum(d[i] * B^(c-1-i)) mod M, vectorized, for byte-ish values
+    d < 2^9. Products of a 61-bit power by a 9-bit digit overflow
+    uint64, so the power splits into 30/31-bit halves and the high
+    half's *2^30 shift is folded through 2^61 ≡ 1 (mod M=2^61-1);
+    every per-element intermediate stays < 2^62. The final reduction
+    splits each term into 32-bit halves whose uint64 sums cannot
+    overflow at chunk length <= 2^16 (2^16 * 2^32 = 2^48), recombined
+    exactly in Python bigints for the one scalar mod."""
+    c = len(d)
+    P = _FP_POW[:c][::-1]  # B^(c-1) .. B^0
+    lo = P & _MASK30
+    hi = P >> np.uint64(30)
+    t = d * hi  # < 2^9 * 2^31 = 2^40
+    term = (t >> np.uint64(31)) + ((t & _MASK31) << np.uint64(30)) + d * lo
+    return (int((term & _MASK32).sum())
+            + (int((term >> np.uint64(32)).sum()) << 32)) % _FP_MOD
 
 
 def fingerprint(text: str) -> int:
     """Deterministic 63-bit rolling polynomial hash of the
-    whitespace-normalized text (document fingerprint)."""
-    h = np.uint64(0)
+    whitespace-normalized text (document fingerprint). Horner over the
+    UTF-8 bytes, vectorized: np.frombuffer + chunked polynomial
+    reduction (one scalar combine per 512-byte chunk) — identical
+    values to the per-byte recurrence h = (h*B + byte+1) mod 2^61-1."""
     norm = _WS.sub(" ", text.strip().lower())
-    data = norm.encode("utf-8")
-    # vectorized horner via chunked reduce
-    for b in data:
-        h = (h * _FP_BASE + np.uint64(b + 1)) % _FP_MOD
-    return int(h)
+    raw = norm.encode("utf-8")
+    if not raw:
+        return 0
+    data = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64) + np.uint64(1)
+    h = 0
+    for start in range(0, len(data), _FP_CHUNK):
+        chunk = data[start: start + _FP_CHUNK]
+        s = _chunk_poly_mod(chunk)
+        h = (h * int(_FP_POW[len(chunk)]) + s) % _FP_MOD
+    return h
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -115,12 +115,15 @@ class HostShardState:
         for host, entries in pending.items():
             st = self._host(host)
             st["heap"].extend(entries)
-            heapq.heapify(st["heap"])
-            # amortized trim: keep the best max_pending entries
-            if len(st["heap"]) > self.max_pending * 1.2:
+            # exact trim on every overflow: the heap is always the best
+            # max_pending entries seen so far, which makes the kept set
+            # independent of batch arrival order (an amortized/slack
+            # trim would let an early eviction outrank a late survivor)
+            if len(st["heap"]) > self.max_pending:
                 n_evict = len(st["heap"]) - self.max_pending
-                st["heap"] = sorted(st["heap"])[: self.max_pending]
+                st["heap"] = heapq.nsmallest(self.max_pending, st["heap"])
                 self.stats["evicted"] += n_evict
+            heapq.heapify(st["heap"])
         self.stats["offered"] += accepted
         return accepted
 
