@@ -1,0 +1,153 @@
+"""Conversion command EXECUTION (reference converter.py:158-167): real
+subprocess rules, convert_stdout capture, results-YAML bookkeeping
+parity, plus the tika strict-stubs and the lance/parquet reader shim."""
+
+import os
+
+import pytest
+import yaml
+
+from warcit_ray.cli import converter_main, main as warcit_main
+
+
+def _write_ppm(path):
+    from warcit_ray.codecs import encode
+    import numpy as np
+
+    img = (np.arange(12 * 8 * 3, dtype=np.uint8).reshape(12, 8, 3) * 2) % 255
+    with open(path, "wb") as fh:
+        fh.write(encode(img, "ppm"))
+
+
+def test_subprocess_rule_executes(tmp_path, ray_session):
+    """A cp-based command template must actually run (subprocess.call,
+    shell=False, rc==0 -> success) and produce the reference's results
+    YAML shape."""
+    src = tmp_path / "media"
+    src.mkdir()
+    _write_ppm(src / "a.ppm")
+    out_dir = str(tmp_path / "out")
+    rules = tmp_path / "rules.yaml"
+    rules.write_text(yaml.dump({
+        "file_types": [{
+            "ext": ".ppm",
+            "conversion_rules": [
+                {"name": "copy", "ext": "cp1", "mime": "image/x-portable-pixmap",
+                 "command": "cp {input} {output}"},
+                {"name": "fail", "ext": "cp2", "mime": "application/octet-stream",
+                 "command": "cp /nonexistent-input-xyz {output}"},
+            ],
+        }],
+    }))
+    stdout_log = str(tmp_path / "convert.log")
+    rc = converter_main(["--output-dir", out_dir, "--rules", str(rules),
+                         "--convert-stdout", stdout_log, "-q",
+                         "http://m.example/", str(src)])
+    assert rc == 0
+    res_path = os.path.join(out_dir, "warcit-conversion-results.yaml")
+    results = yaml.safe_load(open(res_path))["conversions"]
+    entries = results["http://m.example/a.ppm"]
+    assert [e["url"] for e in entries] == [
+        "http://m.example/a.ppm.cp1", "http://m.example/a.ppm.cp2"]
+    assert entries[0]["success"] is True
+    assert entries[1]["success"] is False  # rc != 0 -> failure recorded
+    assert entries[0]["type"] == "conversion"
+    assert entries[0]["metadata"]["name"] == "copy"
+    # the cp actually ran: output mirrors the source tree under out_dir
+    assert os.path.exists(entries[0]["output"])
+    with open(entries[0]["output"], "rb") as fh:
+        assert fh.read() == open(src / "a.ppm", "rb").read()
+    # convert_stdout captured the failing command's stderr
+    assert os.path.exists(stdout_log)
+    assert "nonexistent-input-xyz" in open(stdout_log).read()
+
+
+def test_subprocess_rule_spills_payload_when_source_missing(tmp_path, ray_session):
+    """Workers without the source tree get a local payload spill as
+    {input} (the 100 TB case: payloads travel in the Dataset)."""
+    import pyarrow as pa
+
+    from warcit_ray.stages.transcode import TranscodeStage
+
+    stage = TranscodeStage(
+        [{"ext": ".bin",
+          "conversion_rules": [{"name": "c", "ext": "out",
+                                "command": "cp {input} {output}"}]}],
+        str(tmp_path / "o"))
+    batch = pa.table({
+        "seq": pa.array([0], type=pa.int64()),
+        "url": ["http://x/f.bin"],
+        "full_filename": ["/no/such/dir/f.bin"],
+        "root_dir": ["/no/such/dir"],
+        "payload": pa.array([b"PAYLOAD-BYTES"], type=pa.binary()),
+    })
+    out = stage(batch).to_pylist()
+    assert len(out) == 1 and out[0]["success"]
+    assert open(out[0]["output"], "rb").read() == b"PAYLOAD-BYTES"
+    # the executed command references the spill, not the absent source
+    assert "/no/such/dir" not in out[0]["command"].split(" ")[1]
+
+
+def test_codec_recode_rule_still_builtin(tmp_path, ray_session):
+    src = tmp_path / "m2"
+    src.mkdir()
+    _write_ppm(src / "b.ppm")
+    out_dir = str(tmp_path / "out2")
+    rc = converter_main(["--output-dir", out_dir, "-q",
+                         "http://m.example/", str(src)])
+    assert rc == 0
+    results = yaml.safe_load(
+        open(os.path.join(out_dir, "warcit-conversion-results.yaml")))["conversions"]
+    assert all(e["success"] for e in results["http://m.example/b.ppm"])
+
+
+def test_tika_fail_fast(tmp_path, iana_dir, capsys):
+    assert warcit_main(["-n", str(tmp_path / "t1"), "-q", "--use-magic", "tika",
+                        "http://www.iana.org/", iana_dir]) == 1
+    assert warcit_main(["-n", str(tmp_path / "t2"), "-q", "--charset", "tika",
+                        "http://www.iana.org/", iana_dir]) == 1
+    err = capsys.readouterr().err
+    assert "Tika" in err
+
+
+def test_charset_cchardet_goldens(iana_dir):
+    """Reference goldens (test_warcit.py:97-106): cchardet mode yields
+    windows-1258 for www.iana.org/index.html and UTF-8 for print.css."""
+    from warcit_ray.functions.charset import (
+        charset_suffix,
+        detect_charset_cchardet,
+    )
+
+    idx = open(os.path.join(iana_dir, "index.html"), "rb").read()
+    assert detect_charset_cchardet(idx) == "windows-1258"
+    import glob
+
+    css_path = glob.glob(os.path.join(iana_dir, "_css", "**", "print.css"),
+                         recursive=True)[0]
+    css = open(css_path, "rb").read()
+    assert detect_charset_cchardet(css) == "UTF-8"
+    assert charset_suffix("text/html", "cchardet", idx) == "; charset=windows-1258"
+    assert charset_suffix("text/css", "cchardet", css) == "; charset=UTF-8"
+    # ascii drop + none mode + non-utf8 single-byte scoring
+    assert charset_suffix("text/html", "cchardet", b"plain ascii") == ""
+    assert charset_suffix("text/html", "none", b"plain ascii") == ""
+    assert detect_charset_cchardet("héllo wörld école".encode("latin-1")) \
+        in ("windows-1252", "iso-8859-1", "windows-1258")
+
+
+def test_reader_shim(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from warcit_ray.sources.readers import read_table, table_path
+
+    pq.write_table(pa.table({"a": [1, 2, 3]}), tmp_path / "t.parquet")
+    assert table_path(str(tmp_path), "t") == ("parquet", str(tmp_path / "t.parquet"))
+    ds = read_table(str(tmp_path), "t", columns=["a"])
+    assert ds.count() == 3
+    # a .lance dataset dir takes precedence and (pylance absent) raises
+    # the clear shim error
+    (tmp_path / "t.lance").mkdir()
+    assert table_path(str(tmp_path), "t")[0] == "lance"
+    with pytest.raises(RuntimeError, match="lance"):
+        read_table(str(tmp_path), "t")

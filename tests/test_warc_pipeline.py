@@ -316,3 +316,44 @@ def test_logfile_projection(iana_dir):
     assert (t["Record-Type"] == "revisit").sum() == 2
     # revisit rows blank out content-type columns (warcit.py:558-566)
     assert (t.loc[t["Record-Type"] == "revisit", "Content-Type"] == "").all()
+
+
+def test_warc_shards_deterministic_resume(iana_dir, tmp_path):
+    """ADVICE fix: shard boundaries are fixed seq ranges, so a rerun
+    with a different block structure reproduces identical parts and the
+    skip-on-resume cannot drop or duplicate records."""
+    import glob
+    import os
+
+    import pytest
+
+    cfg = cfg_for([iana_dir])
+    ds = build_warc_dataset(cfg)
+    out_dir = str(tmp_path / "dshards")
+    write_warc_shards(ds, out_dir, rows_per_shard=8)
+    parts1 = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    content1 = {p: open(p, "rb").read() for p in parts1}
+
+    # rerun in append/resume mode with a very different block split:
+    # same parts, byte-identical, nothing duplicated
+    ds2 = build_warc_dataset(cfg).repartition(13)
+    write_warc_shards(ds2, out_dir, mode="ab", rows_per_shard=8)
+    parts2 = sorted(glob.glob(os.path.join(out_dir, "part-*")))
+    assert parts1 == parts2
+    for p in parts2:
+        assert open(p, "rb").read() == content1[p]
+    from warcit_ray.sinks.warc_sink import read_warc_dir
+
+    assert len(read_warc_dir(out_dir)) == 25
+
+    # delete one part: resume re-creates exactly it, byte-identical
+    victim = parts1[1]
+    os.remove(victim)
+    write_warc_shards(build_warc_dataset(cfg).repartition(3), out_dir,
+                      mode="ab", rows_per_shard=8)
+    assert open(victim, "rb").read() == content1[victim]
+    assert len(read_warc_dir(out_dir)) == 25
+
+    # mismatched layout parameters fail loudly instead of mis-skipping
+    with pytest.raises(ValueError):
+        write_warc_shards(ds, out_dir, mode="ab", rows_per_shard=16)

@@ -45,8 +45,9 @@ def build_parser() -> ArgumentParser:
     p.add_argument("--no-warcinfo", action="store_true")
     p.add_argument("--no-xhtml", action="store_true")
     p.add_argument("--use-magic", default="filename",
-                   choices=["filename", "magic"])
-    p.add_argument("--charset")
+                   choices=["filename", "magic", "tika"])
+    p.add_argument("--charset",
+                   metavar="{<ENCODING>, detect, cchardet, tika, none}")
     p.add_argument("--index-files", default="index.html,index.htm")
     p.add_argument("--mime-overrides")
     p.add_argument("--include")
@@ -80,6 +81,15 @@ def main(args=None) -> int:
         load_transclusions,
     )
     from .stages.build_records import check_mapfile_unique
+
+    # fail-fast parity with the reference's load_magic/load_tika (exit 1
+    # before any work when the selected backend is unavailable,
+    # warcit.py:396-407 / test_warcit.py:186-194)
+    if r.use_magic == "tika" or r.charset == "tika":
+        print("Apache Tika backend is not available in this build "
+              "(strict stub); use --use-magic filename|magic and "
+              "--charset <encoding>|detect|cchardet|none", file=sys.stderr)
+        return 1
 
     own_session = not ray.is_initialized()
     if own_session:
@@ -144,6 +154,9 @@ def converter_main(args=None) -> int:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--results", default="warcit-conversion-results.yaml")
     p.add_argument("--rules")
+    p.add_argument("--convert-stdout",
+                   help="file capturing the stdout/stderr of executed "
+                        "conversion commands (converter.py:78,119-126)")
     p.add_argument("url_prefix")
     p.add_argument("inputs", nargs="+")
     r = p.parse_args(args=args)
@@ -158,7 +171,7 @@ def converter_main(args=None) -> int:
         rules = load_rules(r.rules)
         out_dir = r.output_dir or rules.get("output_dir", ".")
         ds = convert_all(r.inputs, r.url_prefix, rules["file_types"], out_dir,
-                         dry_run=r.dry_run)
+                         dry_run=r.dry_run, convert_stdout=r.convert_stdout)
         results = results_to_dict(ds)
         if not r.dry_run:
             write_results_yaml(results, out_dir, r.results)

@@ -127,6 +127,11 @@ def resolve_mime(
         mime = guess_mime_filename(url, cache)
     elif method == "magic":
         mime = sniff_mime(payload_head or b"")
+    elif method == "tika":
+        raise NotImplementedError(
+            "mime method 'tika' requires an Apache Tika server, which is "
+            "not available in this environment (strict stub; reference "
+            "behavior at warcit.py:362-371,642-651)")
     if no_xhtml and mime == "application/xhtml+xml":
         mime = "text/html"
     return mime or "text/html"

@@ -22,18 +22,11 @@ import pyarrow.compute as pc
 
 
 def _rp(sf_dir: str, name: str, columns=None, blocks: int | None = None):
-    """read_parquet with column pruning AND block splitting: the
-    driver-generated files are single-row-group, so without
-    override_num_blocks every downstream map would run as ONE task."""
-    import ray
-    import ray.data as rd
+    """Pruned columnar read through the lance/parquet reader shim
+    (sources.readers.read_table)."""
+    from ..sources.readers import read_table
 
-    path = os.path.join(sf_dir, name + ".parquet")
-    if blocks is None:
-        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        # ~0.75 MB of file per block, capped by cluster CPUs
-        blocks = max(1, min(2 * cpus, os.path.getsize(path) // 786_432))
-    return rd.read_parquet(path, columns=columns, override_num_blocks=int(blocks))
+    return read_table(sf_dir, name, columns=columns, blocks=blocks)
 
 
 # ---------------------------------------------------------------------------

@@ -114,35 +114,79 @@ def write_warc_file(ds, path: str, mode: str = "xb", gzip_members: bool = True,
     return n
 
 
+_SHARD_SEQ_BIAS = 1 << 32  # keeps shard ids non-negative for any seq
+
+
 def write_warc_shards(ds, out_dir: str, mode: str = "xb",
-                      gzip_members: bool = True) -> list[str]:
-    """Distributed sharded writer: each block becomes
-    ``<out_dir>/part-<min_seq:020d>.warc.gz`` written atomically
-    (tmp + rename), so lexicographic order reproduces record order and
-    a rerun skips parts that already exist (resumable layout)."""
+                      gzip_members: bool = True,
+                      rows_per_shard: int = 1024) -> list[str]:
+    """Distributed sharded writer with DETERMINISTIC shard boundaries:
+    records partition on fixed seq ranges (``(seq + bias) //
+    rows_per_shard``), so a rerun under any CPU count / block split
+    produces byte-identical parts and the skip-if-exists resume is
+    safe — skipping by Ray block boundaries would silently drop or
+    duplicate records whenever a rerun split blocks differently. Each
+    part is ``<out_dir>/part-<shard:020d>.warc.gz`` written atomically
+    (tmp + rename); lexicographic filename order == record order.
+    A ``_shards.json`` meta pin records (rows_per_shard, gzip) so a
+    resume/append with mismatched parameters fails loudly instead of
+    mis-skipping. ``mode='ab'`` = resume/append: existing parts are
+    kept (skipped), new seq ranges add new parts."""
+    import json
+
+    import pyarrow.compute as pc
+
     out_dir = os.path.abspath(out_dir)  # workers have their own CWD
     if mode == "xb" and os.path.isdir(out_dir) and glob.glob(os.path.join(out_dir, "*.warc*")):
         raise FileExistsError(out_dir + " already contains WARC shards (use mode='wb'/'ab')")
     if mode == "wb" and os.path.isdir(out_dir):
         for f in glob.glob(os.path.join(out_dir, "*.warc*")):
             os.remove(f)
+        meta_p = os.path.join(out_dir, "_shards.json")
+        if os.path.exists(meta_p):
+            os.remove(meta_p)
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if gzip_members else ".warc"
 
-    def write_block(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+    meta = {"rows_per_shard": int(rows_per_shard), "gzip": bool(gzip_members)}
+    meta_path = os.path.join(out_dir, "_shards.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            old = json.load(fh)
+        if old != meta:
+            raise ValueError(
+                "existing shard layout %r does not match requested %r — "
+                "resume would mis-skip; use mode='wb' to rewrite" % (old, meta))
+    else:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.divide(
+            pc.add(pc.cast(t["seq"], pa.int64()), pa.scalar(_SHARD_SEQ_BIAS)),
+            pa.scalar(int(rows_per_shard), type=pa.int64()))
+        return t.append_column("__shard", pc.cast(shard, pa.int64()))
+
+    def write_shard(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
             return pa.table({"path": pa.array([], type=pa.string()),
                              "records": pa.array([], type=pa.int64())})
-        min_seq = min(batch.column("seq").to_pylist())
-        name = os.path.join(out_dir, "part-%020d%s" % (min_seq + (1 << 32), ext))
-        if not os.path.exists(name):  # resume: skip finished parts
-            tmp = name + ".tmp"
+        shard_id = g.column("__shard")[0].as_py()
+        g = g.drop_columns(["__shard"]).sort_by("seq")
+        name = os.path.join(out_dir, "part-%020d%s" % (shard_id, ext))
+        if not os.path.exists(name):  # resume: shard content is
+            tmp = name + ".tmp"       # deterministic, skip is safe
             with open(tmp, "wb") as fh:
-                fh.write(serialize_batch(batch.sort_by("seq"), gzip_members))
+                fh.write(serialize_batch(g, gzip_members))
             os.rename(tmp, name)
-        return pa.table({"path": [name], "records": [batch.num_rows]})
+        return pa.table({"path": [name], "records": [g.num_rows]})
 
-    manifest = ds.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    manifest = (
+        ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
     return sorted(manifest["path"].tolist())
 
 

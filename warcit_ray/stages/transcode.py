@@ -12,15 +12,27 @@ Reference semantics reproduced (converter.py:136-195):
 - results grouped by source URL in input order (asserted by the
   reference's ordering test, test_warcit.py:238-242 — we keep ``seq``).
 
-The conversion itself: where the reference shells to ffmpeg (absent
-here), this engine re-encodes through the in-repo image codecs. The
-command string is recorded exactly as the reference would
-(``command.format(input=..., output=...)``).
+The conversion itself runs one of two ways, matching the reference's
+extension model (converter.py:158-167):
+- the built-in ``codec-recode {input} {output}`` command re-encodes
+  through the in-repo image codecs (the ffmpeg analogue that works in
+  this sandbox);
+- ANY other command template is executed as a real subprocess —
+  ``subprocess.call(command.split(' '), shell=False)``, success = rc 0,
+  stdout/stderr captured to ``convert_stdout`` when configured
+  (converter.py:117-126) — so a user with ffmpeg installed and their
+  own rules YAML gets exactly the reference behavior. If the source
+  file isn't present on the worker's filesystem (payloads travel in the
+  Dataset at scale), the payload is spilled to a scratch file and
+  ``{input}`` formats to that local copy; the executed command is
+  recorded in the ``command`` result column.
 """
 
 from __future__ import annotations
 
 import os
+import subprocess
+import tempfile
 
 import pyarrow as pa
 
@@ -64,10 +76,24 @@ class TranscodeStage:
     pure work (SURVEY §2.3 actor-pool placement for M11).
     """
 
-    def __init__(self, file_types: list[dict], output_dir: str, dry_run: bool = False):
+    def __init__(self, file_types: list[dict], output_dir: str,
+                 dry_run: bool = False, convert_stdout: str | None = None):
         self.file_types = file_types
         self.output_dir = output_dir
         self.dry_run = dry_run
+        self.convert_stdout = convert_stdout
+        self._stdout_fh = None
+
+    def _stdout(self):
+        """converter.py:117-126 convert_stdout capture; one file handle
+        per actor for its lifetime, opened in append mode so a pool of
+        actors shares the log path (writes are record-interleaved,
+        line-atomic at OS pipe granularity)."""
+        if self.convert_stdout and self._stdout_fh is None:
+            os.makedirs(os.path.dirname(os.path.abspath(self.convert_stdout)),
+                        exist_ok=True)
+            self._stdout_fh = open(self.convert_stdout, "at")
+        return self._stdout_fh
 
     def _convert_one(self, payload: bytes, out_path: str, to_ext: str) -> bool:
         src_fmt = sniff_fmt(payload)
@@ -82,6 +108,41 @@ class TranscodeStage:
         with open(out_path, "wb") as fh:
             fh.write(out_bytes)
         return True
+
+    def _run_rule(self, rule: dict, row: dict, out_path: str) -> tuple[bool, str]:
+        """Execute one conversion rule -> (success, executed command).
+
+        ``codec-recode`` dispatches to the in-repo codecs; any other
+        template is a REAL subprocess exactly like the reference
+        (converter.py:158-167): format {input}/{output}, split on
+        spaces, shell=False, success = returncode 0."""
+        template = rule["command"]
+        if template.split(" ", 1)[0] == "codec-recode":
+            command = template.format(input=row["full_filename"], output=out_path)
+            return self._convert_one(row["payload"], out_path, rule["ext"]), command
+
+        in_path = row["full_filename"]
+        spill = None
+        if not os.path.exists(in_path):
+            # distributed worker without the source tree: the payload
+            # column is the source of truth; give the command a local copy
+            suffix = os.path.splitext(in_path)[1] or ".bin"
+            fd, spill = tempfile.mkstemp(suffix=suffix)
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(row["payload"] or b"")
+            in_path = spill
+        command = rule["command"].format(input=in_path, output=out_path)
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        try:
+            fh = self._stdout()
+            rc = subprocess.call(command.split(" "), shell=False,
+                                 stdout=fh, stderr=fh)
+        except OSError:
+            rc = -1
+        finally:
+            if spill:
+                os.unlink(spill)
+        return rc == 0, command
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {name: [] for name in RESULT_SCHEMA.names}
@@ -98,12 +159,9 @@ class TranscodeStage:
                         self.output_dir,
                         row["root_dir"],
                     )
-                    command = rule["command"].format(
-                        input=row["full_filename"], output=out_path
-                    )
                     if self.dry_run:
                         continue
-                    ok = self._convert_one(row["payload"], out_path, rule["ext"])
+                    ok, command = self._run_rule(rule, row, out_path)
                     meta = {k: v for k, v in rule.items() if k != "regex"}
                     out["seq"].append(row["seq"] + sub)
                     out["source_url"].append(row["url"])
@@ -119,7 +177,7 @@ class TranscodeStage:
 
 def convert_all(inputs: list[str], url_prefix: str, file_types: list[dict],
                 output_dir: str, *, concurrency: int = 4, batch_size: int = 32,
-                dry_run: bool = False):
+                dry_run: bool = False, convert_stdout: str | None = None):
     """warcit-converter pipeline: seeds -> payloads -> transcode."""
     from ..sources.seeds import PayloadLoader, seeds_dataset
 
@@ -128,7 +186,7 @@ def convert_all(inputs: list[str], url_prefix: str, file_types: list[dict],
                         batch_format="pyarrow", concurrency=concurrency)
     return ds.map_batches(
         TranscodeStage,
-        fn_constructor_args=(file_types, output_dir, dry_run),
+        fn_constructor_args=(file_types, output_dir, dry_run, convert_stdout),
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,
