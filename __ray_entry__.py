@@ -38,7 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q.events_hourly,
         "sessionize_events": q.sessionize_events,
         "lang_stats": q.lang_stats,
-        # warcit operator semantics (SURVEY §2: M1, M2, M4, M6, M7, M8)
+        # warcit operator semantics (SURVEY §2: M1-M10)
         "url_escape": q.url_escape,
         "mime_by_extension": q.mime_by_extension,
         "include_exclude": q.include_exclude,
@@ -46,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revisit_expansion": q.revisit_expansion,
         "warc_build_docs": q.warc_build_docs,
         "warc_digests": q.warc_digests,
+        "mapfile_remap": q.mapfile_remap,
+        "charset_suffixes": q.charset_suffixes,
+        "conversion_records": q.conversion_records,
+        "transclusion_json": q.transclusion_json,
         # training-data ops
         "dedup_exact": q.dedup_exact,
         "token_counts": q.token_counts,
@@ -74,6 +78,31 @@ for _c, _r in [("#", "%23"), (";", "%3b"), ("?", "%3f"), (":", "%3a"),
                ("@", "%40"), ("&", "%26"), ("=", "%3d"), ("+", "%2b"),
                ("$", "%24"), (",", "%2c"), (" ", "%20")]:
     _ESCAPE_SQL = "replace(%s, '%s', '%s')" % (_ESCAPE_SQL, _c, _r)
+
+
+def _tc_template(variant: int) -> str:
+    """Expected canonical transclusion JSON (M10 oracle) with IDTOKEN
+    placeholders — built with the same stdlib canonicalization the
+    reference mandates (json.dumps indent=2 sort_keys, warcit.py:589)."""
+    import json
+
+    url = "http://docs.example/doc/IDTOKEN.txt"
+    formats = []
+    if variant == 0:
+        formats = [
+            {"name": "webm", "ext": "webm", "url": url + ".webm", "original_url": url},
+            {"name": "mp4", "ext": "mp4", "url": url + ".mp4", "original_url": url},
+        ]
+    elif variant == 1:
+        formats = [{"name": "png", "ext": "png", "url": url + ".png",
+                    "original_url": url}]
+    formats.append({"url": url, "ext": "txt", "original": True,
+                    "mime": "text/plain"})
+    return json.dumps(
+        {"webpage_url": "http://pages.example/pIDTOKEN",
+         "webpage_timestamp": "20200101000000", "selector": "div#v",
+         "formats": formats},
+        indent=2, sort_keys=True)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -201,6 +230,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 10 = 0
             ) ORDER BY doc_id, record_type
         """,
+        "mapfile_remap": """
+            SELECT doc_id,
+                   CASE WHEN ext = '.html' AND doc_id % 10 = 0 THEN 0
+                        WHEN ext = '.css' THEN 1
+                        WHEN doc_id = 7 THEN 2
+                        ELSE -1 END AS match_idx,
+                   CASE WHEN ext = '.html' AND doc_id % 10 = 0
+                            THEN 'http://remap.example/zero'
+                        WHEN ext = '.css' THEN 'http://remap.example/css'
+                        WHEN doc_id = 7 THEN 'http://remap.example/seven'
+                        ELSE 'http://docs.example/web/f'
+                             || CAST(doc_id AS VARCHAR) || ext END AS url,
+                   CASE WHEN ext = '.html' AND doc_id % 10 = 0 THEN '2019'
+                        WHEN doc_id = 7 THEN '20200101'
+                        ELSE '' END AS mapped_ts,
+                   CASE WHEN ext = '.html' AND doc_id % 10 = 0 THEN 'x/y; charset=q'
+                        WHEN doc_id = 7 THEN 'text/plain'
+                        ELSE '' END AS mapped_ct
+            FROM (
+                SELECT doc_id,
+                       CASE doc_id % 5 WHEN 0 THEN '.html' WHEN 1 THEN '.css'
+                            WHEN 2 THEN '.js' WHEN 3 THEN '.png'
+                            ELSE '.ico' END AS ext
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        "charset_suffixes": """
+            SELECT doc_id,
+                   CASE doc_id % 4
+                        WHEN 0 THEN 'text/html'
+                        WHEN 1 THEN 'text/html; charset=UTF-8'
+                        WHEN 2 THEN 'text/html; charset=windows-1252'
+                        ELSE 'text/html; charset=windows-1258' END AS content_type
+            FROM documents ORDER BY doc_id
+        """,
+        "conversion_records": """
+            SELECT doc_id, conv_seq, 'conversion' AS record_type,
+                   'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' || ext AS target_uri,
+                   'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' AS refers_to_uri
+            FROM (
+                SELECT doc_id, CAST(0 AS BIGINT) AS conv_seq, '.webm' AS ext
+                FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 1, '.mp4' FROM documents WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 0, '.png' FROM documents WHERE doc_id % 4 = 1
+            ) ORDER BY doc_id, conv_seq
+        """,
+        "transclusion_json": """
+            SELECT doc_id,
+                   'urn:embeds:http://pages.example/p'
+                       || CAST(doc_id AS VARCHAR) AS target_uri,
+                   replace(CASE doc_id %% 4
+                               WHEN 0 THEN '%s'
+                               WHEN 1 THEN '%s'
+                               ELSE '%s' END,
+                           'IDTOKEN', CAST(doc_id AS VARCHAR)) AS payload_json
+            FROM documents WHERE doc_id %% 5 = 0 ORDER BY doc_id
+        """ % (_tc_template(0), _tc_template(1), _tc_template(2)),
         "warc_build_docs": """
             SELECT doc_id,
                    'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)

@@ -134,7 +134,8 @@ def serial_oracle(graph: WebGraph, n_seeds: int, max_generations: int,
 
 def test_crawl_matches_serial_oracle(corpus):
     graph = WebGraph(N)
-    kw = dict(n_seeds=6, max_generations=30, rate=1.0, capacity=2.0)
+    kw = dict(n_seeds=6, max_generations=30, rate=1.0, capacity=2.0,
+              track_visits=True)
     oracle = serial_oracle(graph, kw["n_seeds"], kw["max_generations"],
                            kw["rate"], kw["capacity"])
     res = crawl(corpus, graph=graph, num_seen_shards=3, num_host_shards=3,
@@ -195,7 +196,8 @@ def test_crawl_records_invariants(corpus, tmp_path):
 def test_crawl_resume_bit_identical(corpus, tmp_path):
     graph = WebGraph(N)
     kw = dict(n_seeds=6, max_generations=12, num_seen_shards=2,
-              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32)
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32,
+              track_visits=True)
     ck_full = str(tmp_path / "full")
     full = crawl(corpus, graph=graph, checkpoint_dir=ck_full, **kw)
 
@@ -246,7 +248,8 @@ def test_dataset_path_equivalent_to_direct_path(corpus):
     produce the same crawl as the small/direct branches."""
     graph = WebGraph(N)
     kw = dict(n_seeds=6, max_generations=10, num_seen_shards=2,
-              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32)
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32,
+              track_visits=True)
     small = crawl(corpus, graph=graph, **kw)
     large = crawl(corpus, graph=graph, small_frontier_threshold=0,
                   small_admit_threshold=0, **kw)
@@ -291,3 +294,31 @@ def test_offer_batch_top_per_host_trim():
     assert "http://cold.example/x" in admitted["url"]
     for a in host_actors:
         ray.kill(a)
+
+
+def test_partitioned_corpus_equivalent(corpus):
+    """The hash-partitioned corpus fetch (forced via corpus_partitions)
+    must produce the identical crawl as the broadcast-dict path."""
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=10, num_seen_shards=2,
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32,
+              track_visits=True)
+    bcast = crawl(corpus, graph=graph, **kw)
+    parts = crawl(corpus, graph=graph, corpus_partitions=5, **kw)
+    assert sorted(bcast["visit_log"]) == sorted(parts["visit_log"])
+    assert bcast["admitted"] == parts["admitted"]
+    assert bcast["seen"] == parts["seen"]
+
+
+def test_bucket_lookup_matches_dict(corpus, ray_session):
+    from warcit_ray.pipelines.crawl import (
+        _resolve_corpus,
+        corpus_dict,
+        make_partitioned_corpus,
+    )
+
+    full = corpus_dict(corpus)
+    lookup = _resolve_corpus(make_partitioned_corpus(corpus, 7))
+    for key in list(full)[:40]:
+        assert lookup.get(key, None) == full[key]
+    assert lookup.get("img-nonexistent", ("", "", "")) == ("", "", "")

@@ -80,6 +80,8 @@ def test_entry_smoke(entry_mod):
     "lang_stats", "url_escape", "mime_by_extension", "include_exclude",
     "iso_timestamps", "revisit_expansion", "warc_build_docs", "dedup_exact",
     "token_counts", "embedding_topk",
+    "mapfile_remap", "charset_suffixes", "conversion_records",
+    "transclusion_json",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

@@ -28,10 +28,13 @@ bit-identically (tested in tests/test_crawl.py).
 The "web" being crawled is the image+caption corpus itself
 (BASELINE.json input_hint): each row is a page whose URL, host, robots
 visibility, out-links and priority are pure functions of its index —
-see :class:`WebGraph`. At 100 TB the fetch stage would read corpus
-partitions co-partitioned by ``hash(image_id)``; at test scale the
-corpus is broadcast once via ``ray.put`` and resolved per actor in
-``__init__`` (the prescribed small-side broadcast pattern).
+see :class:`WebGraph`. Corpus dispatch is size-gated: a small corpus
+broadcasts once via ``ray.put`` (the prescribed small-side pattern);
+above ``corpus_broadcast_threshold`` it is hash-partitioned on
+``image_id`` (:func:`make_partitioned_corpus`) and fetch tasks resolve
+only the buckets their admitted keys hash to — no worker ever holds
+the whole corpus. Both paths are equivalence-tested
+(tests/test_crawl.py::test_partitioned_corpus_equivalent).
 """
 
 from __future__ import annotations
@@ -272,24 +275,77 @@ def light_fetch_batch(batch: pa.Table, graph: WebGraph, clock_iso: str) -> pa.Ta
     return pa.table(out, schema=schema)
 
 
-# worker-process cache: the broadcast corpus is deserialized once per
-# worker process, not once per task (the ray.put'd dict is reused by
-# every fetch task scheduled on that worker)
+# worker-process cache: broadcast corpora / corpus partitions are
+# deserialized once per worker process, not once per task (bounded by
+# entry count; partition granularity keeps each entry ~one bucket)
 _CORPUS_CACHE: dict = {}
+_CORPUS_CACHE_MAX = 64
+
+
+def _cache_get(key: str, build):
+    got = _CORPUS_CACHE.get(key)
+    if got is None:
+        if len(_CORPUS_CACHE) >= _CORPUS_CACHE_MAX:
+            _CORPUS_CACHE.clear()
+        got = build()
+        _CORPUS_CACHE[key] = got
+    return got
+
+
+def corpus_bucket_of(key: str, num_buckets: int) -> int:
+    h = hashlib.blake2b(key.encode(), digest_size=4).digest()
+    return int.from_bytes(h, "little") % num_buckets
+
+
+def make_partitioned_corpus(table: pa.Table, num_buckets: int) -> dict:
+    """The 100 TB corpus path: hash-partition the corpus on
+    ``image_id`` into ``num_buckets`` object-store tables. A fetch task
+    resolves ONLY the buckets its admitted keys hash to (worker-cached),
+    so no worker ever holds the whole corpus — the broadcast dict is
+    kept only under the size threshold (crawl() dispatch). At real
+    scale the refs become co-partitioned Parquet/Lance fragments read
+    by the same bucket arithmetic."""
+    import ray
+
+    keys = table.column("image_id").to_pylist()
+    buckets = np.asarray([corpus_bucket_of(k, num_buckets) for k in keys])
+    refs = []
+    sub = table.select(["image_id", "bytes", "fmt", "caption"])
+    for b in range(num_buckets):
+        idx = np.nonzero(buckets == b)[0]
+        refs.append(ray.put(sub.take(idx)))
+    return {"kind": "parts", "refs": refs, "P": num_buckets}
+
+
+class _BucketLookup:
+    """dict-like .get over a partitioned corpus: bucket tables resolve
+    lazily from the object store and build their key->row dict once per
+    worker process."""
+
+    def __init__(self, refs, num_buckets: int):
+        self.refs = refs
+        self.P = num_buckets
+
+    def get(self, key: str, default):
+        import ray
+
+        b = corpus_bucket_of(key, self.P)
+        ref = self.refs[b]
+
+        def build():
+            return corpus_dict(ray.get(ref))
+
+        return _cache_get("part:" + ref.hex(), build).get(key, default)
 
 
 def _resolve_corpus(corpus_ref):
     if isinstance(corpus_ref, dict):
+        if corpus_ref.get("kind") == "parts":
+            return _BucketLookup(corpus_ref["refs"], corpus_ref["P"])
         return corpus_ref
     import ray
 
-    key = corpus_ref.hex()
-    corpus = _CORPUS_CACHE.get(key)
-    if corpus is None:
-        _CORPUS_CACHE.clear()
-        corpus = ray.get(corpus_ref)
-        _CORPUS_CACHE[key] = corpus
-    return corpus
+    return _cache_get("bcast:" + corpus_ref.hex(), lambda: ray.get(corpus_ref))
 
 
 def fetch_batch(batch: pa.Table, corpus_ref, graph: WebGraph,
@@ -497,14 +553,22 @@ def crawl(
     fetch_concurrency: int = 4,
     small_frontier_threshold: int = 32768,
     small_admit_threshold: int = 8192,
-    track_visits: bool = True,
+    track_visits: bool = False,
     seen_fp_bits: int = 16,
+    corpus_partitions: int | None = None,
+    corpus_broadcast_threshold: int = 256 << 20,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
     ``resume=True`` restores seen/host state from the last complete
     generation in ``checkpoint_dir`` and continues; finished
-    generations are never recomputed (their records partitions stay)."""
+    generations are never recomputed (their records partitions stay).
+
+    ``track_visits`` defaults to FALSE: the in-memory visit log grows
+    with total crawl size (a driver OOM at 10^10 URLs). The durable
+    visit record at scale is the per-generation ``admitted.parquet``
+    in the checkpoint; opt in to the in-memory log only for
+    test-scale equivalence checks."""
     import ray
     import ray.data as rd
 
@@ -520,7 +584,16 @@ def crawl(
             raise ValueError("need corpus_table or an explicit fetch_fn")
         n = corpus_table.num_rows
         graph = graph or WebGraph(n)
-        corpus_ref = ray.put(corpus_dict(corpus_table))
+        # corpus dispatch: broadcast the whole dict only while it is
+        # genuinely small-side; above the threshold (or when forced),
+        # hash-partition on image_id so fetch tasks resolve only the
+        # buckets they touch (see make_partitioned_corpus)
+        if corpus_partitions or corpus_table.nbytes > corpus_broadcast_threshold:
+            num_parts = corpus_partitions or max(
+                8, int(corpus_table.nbytes // (64 << 20)))
+            corpus_ref = make_partitioned_corpus(corpus_table, num_parts)
+        else:
+            corpus_ref = ray.put(corpus_dict(corpus_table))
         fetch_fn = fetch_batch
         fetch_args = (corpus_ref, graph, clock_iso)
         explode_fn = lambda t: explode_links(t, graph)  # noqa: E731
@@ -606,32 +679,46 @@ def crawl(
         frontier = None
 
         # --- 2. politeness tick: admit per host --------------------------
+        # per-shard admits become Arrow tables immediately (one table per
+        # shard, fixed shard order -> deterministic concat); the driver
+        # never accumulates python element lists. One generation's admit
+        # set is bounded by rate x hosts, the only driver-held state.
         admits = ray.get([a.admit.remote() for a in host_actors])
-        cols = {k: [] for k in ("host", "url", "priority", "seq", "payload_key", "depth")}
-        for ad in admits:  # shard order is fixed -> deterministic concat
-            for k in cols:
-                cols[k].extend(ad[k])
-        n_admitted = len(cols["url"])
+        shard_tables = []
+        for ad in admits:
+            if ad["url"]:
+                shard_tables.append(pa.table({
+                    "host": pa.array(ad["host"], type=pa.string()),
+                    "url": pa.array(ad["url"], type=pa.string()),
+                    "priority": pa.array(ad["priority"], type=pa.int64()),
+                    "seq": pa.array(ad["seq"], type=pa.int64()),
+                    "payload_key": pa.array(ad["payload_key"], type=pa.string()),
+                    "depth": pa.array(ad["depth"], type=pa.int64()),
+                }))
+        n_admitted = sum(t.num_rows for t in shard_tables)
         if n_admitted == 0:
             pending = sum(ray.get([a.pending.remote() for a in host_actors]))
             if pending == 0:
                 break
             # buckets empty this tick but URLs remain: next tick refills
-        admitted = pa.table(
-            {
-                "generation": pa.array([g] * n_admitted, type=pa.int64()),
-                "host": pa.array(cols["host"], type=pa.string()),
-                "url": pa.array(cols["url"], type=pa.string()),
-                "priority": pa.array(cols["priority"], type=pa.int64()),
-                "seq": pa.array(cols["seq"], type=pa.int64()),
-                "payload_key": pa.array(cols["payload_key"], type=pa.string()),
-                "depth": pa.array(cols["depth"], type=pa.int64()),
-            }
-        )
+        if shard_tables:
+            body = pa.concat_tables(shard_tables)
+        else:
+            body = pa.table({
+                "host": pa.array([], type=pa.string()),
+                "url": pa.array([], type=pa.string()),
+                "priority": pa.array([], type=pa.int64()),
+                "seq": pa.array([], type=pa.int64()),
+                "payload_key": pa.array([], type=pa.string()),
+                "depth": pa.array([], type=pa.int64()),
+            })
+        admitted = body.add_column(
+            0, "generation", pa.array([g] * n_admitted, type=pa.int64()))
         totals["admitted"] += n_admitted
         totals["generations"] = g + 1
         if track_visits:
-            for h, u in zip(cols["host"], cols["url"]):
+            for h, u in zip(body.column("host").to_pylist(),
+                            body.column("url").to_pylist()):
                 visit_log.append((g, h, u))
 
         # --- 3. fetch + link discovery -----------------------------------

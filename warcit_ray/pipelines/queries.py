@@ -386,6 +386,170 @@ def revisit_expansion(sf_dir: str) -> pd.DataFrame:
     )
 
 
+MAPFILE_RULES = [
+    {"file": "0.html", "URL": "http://remap.example/zero",
+     "timestamp": "2019", "Content-Type": "x/y; charset=q"},
+    {"file": ".css", "URL": "http://remap.example/css",
+     "timestamp": "", "Content-Type": ""},
+    {"file": "f7.js", "URL": "http://remap.example/seven",
+     "timestamp": "20200101", "Content-Type": "text/plain"},
+]
+
+
+def mapfile_remap(sf_dir: str) -> pd.DataFrame:
+    """M3 mapfile suffix matching (warcit.py:332-342) via the real
+    match_mapfile over derived filenames: first rule whose 'file' is a
+    SUFFIX of the filename wins; URL/timestamp/Content-Type remapped."""
+    from ..sources.sidetables import match_mapfile
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = {"doc_id": [], "match_idx": [], "url": [], "mapped_ts": [],
+               "mapped_ct": []}
+        for i in ids:
+            fn = "web/f%d%s" % (i, EXTS[i % 5])
+            idx, row = match_mapfile(fn, MAPFILE_RULES)
+            out["doc_id"].append(i)
+            out["match_idx"].append(idx)
+            out["url"].append((row or {}).get("URL") or "http://docs.example/" + fn)
+            out["mapped_ts"].append((row or {}).get("timestamp") or "")
+            out["mapped_ct"].append((row or {}).get("Content-Type") or "")
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "match_idx": pa.array(out["match_idx"], type=pa.int64()),
+            "url": pa.array(out["url"], type=pa.string()),
+            "mapped_ts": pa.array(out["mapped_ts"], type=pa.string()),
+            "mapped_ct": pa.array(out["mapped_ct"], type=pa.string()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def charset_suffixes(sf_dir: str) -> pd.DataFrame:
+    """M5 charset chain in cchardet mode (warcit.py:661-716) over four
+    deterministic payload classes: ascii (dropped), rich UTF-8,
+    latin-1 single-byte, sparse curly-quote (the reference's
+    windows-1258 golden shape)."""
+    from ..functions.charset import charset_suffix
+
+    payload_of = {
+        0: b"plain ascii body with nothing special",
+        1: "héllo wörld café résumé".encode("utf-8"),
+        2: b"h\xe9llo caf\xe9 \xe9cole normale",
+        3: "one curly ’ quote only".encode("utf-8"),
+    }
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        cts = ["text/html" + charset_suffix("text/html", "cchardet",
+                                            payload_of[i % 4])
+               for i in ids]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "content_type": pa.array(cts, type=pa.string())})
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _derived_conversions(url: str, doc_id: int) -> list[dict]:
+    """Deterministic conversion-results side table for M9/M10 oracles:
+    doc_id%4==0 -> webm+mp4 (rule order), %4==1 -> png, %4==2 -> one
+    FAILED conversion (must be skipped), %4==3 -> none."""
+    if doc_id % 4 == 0:
+        return [
+            {"url": url + ".webm", "success": True, "type": "conversion",
+             "metadata": {"name": "webm", "ext": "webm"}},
+            {"url": url + ".mp4", "success": True, "type": "conversion",
+             "metadata": {"name": "mp4", "ext": "mp4"}},
+        ]
+    if doc_id % 4 == 1:
+        return [{"url": url + ".png", "success": True, "type": "conversion",
+                 "metadata": {"name": "png", "ext": "png"}}]
+    if doc_id % 4 == 2:
+        return [{"url": url + ".gif", "success": False, "type": "conversion",
+                 "metadata": {"name": "gif", "ext": "gif"}}]
+    return []
+
+
+def conversion_records(sf_dir: str) -> pd.DataFrame:
+    """M9 conversion-record expansion (warcit.py:568-578 +
+    converter.py:205-216): per source URL, one conversion record per
+    SUCCESSFUL result in results-list order (success=False skipped with
+    a warning in the reference); derived URL = url + '.' + ext,
+    refers-to headers point at the source record."""
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = {"doc_id": [], "conv_seq": [], "record_type": [],
+               "target_uri": [], "refers_to_uri": []}
+        for i in ids:
+            url = "http://docs.example/doc/%d.txt" % i
+            sub = 0
+            for conv in _derived_conversions(url, i):
+                if not conv.get("success"):
+                    continue  # converter.py:209-211
+                out["doc_id"].append(i)
+                out["conv_seq"].append(sub)
+                out["record_type"].append(conv.get("type", "conversion"))
+                out["target_uri"].append(conv["url"])
+                out["refers_to_uri"].append(url)
+                sub += 1
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "conv_seq": pa.array(out["conv_seq"], type=pa.int64()),
+            "record_type": pa.array(out["record_type"], type=pa.string()),
+            "target_uri": pa.array(out["target_uri"], type=pa.string()),
+            "refers_to_uri": pa.array(out["refers_to_uri"], type=pa.string()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values(["doc_id", "conv_seq"]).reset_index(drop=True)
+    )
+
+
+def transclusion_json(sf_dir: str) -> pd.DataFrame:
+    """M10 transclusion metadata (warcit.py:580-618): docs with
+    doc_id%5==0 carry one transclusion; the payload is the REAL
+    engine's canonical JSON (build_records.transclusion_metadata_json —
+    sort_keys, indent=2, byte-exact per warcit.py:589), including the
+    successful-conversions formats list and the trailing original."""
+    from ..stages.build_records import transclusion_metadata_json
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out = {"doc_id": [], "target_uri": [], "payload_json": []}
+        for i in ids:
+            if i % 5 != 0:
+                continue
+            url = "http://docs.example/doc/%d.txt" % i
+            contain = "http://pages.example/p%d" % i
+            js = transclusion_metadata_json(
+                url, contain, "20200101000000", "div#v",
+                _derived_conversions(url, i), "text/plain")
+            out["doc_id"].append(i)
+            out["target_uri"].append("urn:embeds:" + contain)
+            out["payload_json"].append(js)
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+            "target_uri": pa.array(out["target_uri"], type=pa.string()),
+            "payload_json": pa.array(out["payload_json"], type=pa.string()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id"])
+        .map_batches(f, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
@@ -599,7 +763,8 @@ def crawl_demo(sf_dir: str) -> pd.DataFrame:
     graph = WebGraph(corpus.num_rows)
     with tempfile.TemporaryDirectory() as ck:
         res = crawl(corpus, graph=graph, n_seeds=8, max_generations=12,
-                    num_seen_shards=2, num_host_shards=2, checkpoint_dir=ck)
+                    num_seen_shards=2, num_host_shards=2, checkpoint_dir=ck,
+                    track_visits=True)
     rows = pd.DataFrame(res["visit_log"], columns=["generation", "host", "url"])
     return rows.sort_values(["generation", "host", "url"]).reset_index(drop=True)
 

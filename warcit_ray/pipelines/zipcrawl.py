@@ -232,7 +232,7 @@ def crawl_dir(root_dir: str, seed_files: list[str], *,
               capacity: float = 16.0, max_generations: int = 40,
               num_seen_shards: int = 2, num_host_shards: int = 2,
               checkpoint_dir: str | None = None, resume: bool = False,
-              seen_fp_bits: int = 32) -> dict:
+              seen_fp_bits: int = 32, track_visits: bool = True) -> dict:
     """Crawl a local directory tree through the frontier machinery
     (file:// pseudo-URLs; robots.txt at the tree root gates paths)."""
     import os
@@ -258,7 +258,7 @@ def crawl_dir(root_dir: str, seed_files: list[str], *,
         rate=rate, capacity=capacity, max_generations=max_generations,
         num_seen_shards=num_seen_shards, num_host_shards=num_host_shards,
         clock_iso=clock_iso, checkpoint_dir=checkpoint_dir, resume=resume,
-        seen_fp_bits=seen_fp_bits,
+        seen_fp_bits=seen_fp_bits, track_visits=track_visits,
     )
 
 
@@ -267,7 +267,7 @@ def crawl_zip(archive: str, site_root: str, seed_members: list[str], *,
               capacity: float = 16.0, max_generations: int = 40,
               num_seen_shards: int = 2, num_host_shards: int = 2,
               checkpoint_dir: str | None = None, resume: bool = False,
-              seen_fp_bits: int = 32) -> dict:
+              seen_fp_bits: int = 32, track_visits: bool = True) -> dict:
     """Crawl a zip archive through the full frontier machinery
     (seen-set, politeness, robots, priority, checkpoint)."""
     from .crawl import crawl
@@ -290,5 +290,5 @@ def crawl_zip(archive: str, site_root: str, seed_members: list[str], *,
         rate=rate, capacity=capacity, max_generations=max_generations,
         num_seen_shards=num_seen_shards, num_host_shards=num_host_shards,
         clock_iso=clock_iso, checkpoint_dir=checkpoint_dir, resume=resume,
-        seen_fp_bits=seen_fp_bits,
+        seen_fp_bits=seen_fp_bits, track_visits=track_visits,
     )

@@ -69,6 +69,34 @@ WARC_SCHEMA = pa.schema(
 )
 
 
+def transclusion_metadata_json(url: str, contain_url: str, contain_ts: str,
+                               selector: str | None,
+                               conversions: list[dict],
+                               orig_mime: str | None) -> str:
+    """Canonical transclusion-metadata JSON (M10, warcit.py:580-618):
+    {webpage_url, webpage_timestamp, selector?, formats:[successful
+    conversions... + original{url, ext, mime?, original:true}]},
+    serialized byte-exact as ``json.dumps(..., indent=2,
+    sort_keys=True)`` (warcit.py:589)."""
+    metadata: dict = {"webpage_url": contain_url, "webpage_timestamp": contain_ts}
+    if selector:
+        metadata["selector"] = selector
+    formats = []
+    for conv in conversions:
+        if not conv.get("success"):
+            continue
+        m = dict(conv.get("metadata") or {})
+        m["url"] = conv["url"]
+        m["original_url"] = url
+        formats.append(m)
+    orig = {"url": url, "ext": url.rsplit(".")[-1], "original": True}
+    if orig_mime:
+        orig["mime"] = orig_mime
+    formats.append(orig)
+    metadata["formats"] = formats
+    return json.dumps(metadata, indent=2, sort_keys=True)
+
+
 class RecordBuilder:
     """Callable class for ``map_batches(..., concurrency=N)``.
 
@@ -193,29 +221,13 @@ class RecordBuilder:
                 continue
             contain_url = tc["url"]
             contain_ts = str(tc.get("timestamp") or timestamp_now())
-            selector = tc.get("selector")
             if tc.get("metadata_file"):
                 with open(tc["metadata_file"], "rt") as fh:
-                    metadata = fh.read()
+                    content = fh.read().encode("utf-8")
             else:
-                metadata = {"webpage_url": contain_url, "webpage_timestamp": contain_ts}
-                if selector:
-                    metadata["selector"] = selector
-                formats = []
-                for conv in self.conversions.get(url, []):
-                    if not conv.get("success"):
-                        continue
-                    m = dict(conv.get("metadata") or {})
-                    m["url"] = conv["url"]
-                    m["original_url"] = url
-                    formats.append(m)
-                orig = {"url": url, "ext": url.rsplit(".")[-1], "original": True}
-                if orig_mime:
-                    orig["mime"] = orig_mime
-                formats.append(orig)
-                metadata["formats"] = formats
-
-            content = json.dumps(metadata, indent=2, sort_keys=True).encode("utf-8")
+                content = transclusion_metadata_json(
+                    url, contain_url, contain_ts, tc.get("selector"),
+                    self.conversions.get(url, []), orig_mime).encode("utf-8")
             warc_date = timestamp_to_iso_date(contain_ts)
             embeds_url = "urn:embeds:" + contain_url
             rid = record_id(embeds_url, warc_date, "", "resource", seq)
