@@ -50,6 +50,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "charset_suffixes": q.charset_suffixes,
         "conversion_records": q.conversion_records,
         "transclusion_json": q.transclusion_json,
+        # source/sink operators (SURVEY §2: S1-S5, S7, K2-K4)
+        "dir_walk": q.dir_walk,
+        "zip_enumerate": q.zip_enumerate,
+        "mapfile_load": q.mapfile_load,
+        "conversion_results_yaml": q.conversion_results_yaml,
+        "warcinfo_record": q.warcinfo_record,
+        "logfile_rows": q.logfile_rows,
+        "rules_load": q.rules_load,
+        "transclusions_load": q.transclusions_load,
         # training-data ops
         "dedup_exact": q.dedup_exact,
         "token_counts": q.token_counts,
@@ -103,6 +112,24 @@ def _tc_template(variant: int) -> str:
          "webpage_timestamp": "20200101000000", "selector": "div#v",
          "formats": formats},
         indent=2, sort_keys=True)
+
+
+def _warcinfo_sql() -> str:
+    """K2 oracle: the spec-derived warcinfo block (warcit.py:450-462
+    field order, CRLF-joined) for the pinned test config."""
+    import warcit_ray
+
+    payload = ("software: warcit-ray %s\r\n"
+               "format: WARC File Format 1.0\r\n"
+               "cmdline: warcit-ray test\r\n") % warcit_ray.__version__
+    return """
+        SELECT 'warcinfo' AS record_type,
+               'fixed.warc.gz' AS target_uri,
+               '2026-01-01T00:00:00Z' AS warc_date,
+               'application/warc-fields' AS content_type,
+               CAST({n} AS BIGINT) AS content_length,
+               '{p}' AS payload_text
+    """.format(n=len(payload.encode("utf-8")), p=payload.replace("'", "''"))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -229,6 +256,90 @@ def oracle_sql() -> dict[str, str]:
                            || '/' AS target_uri
                 FROM documents WHERE doc_id % 10 = 0
             ) ORDER BY doc_id, record_type
+        """,
+        "dir_walk": """
+            SELECT 'http://w.example/src' || CAST(doc_id % 10 AS VARCHAR)
+                       || '/f' || CAST(doc_id AS VARCHAR) || '%20a.txt' AS url,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS size,
+                   '2020-02-02T02:02:02Z' AS modified_iso
+            FROM documents WHERE doc_id < 500 ORDER BY url
+        """,
+        "zip_enumerate": """
+            SELECT url, size, modified_iso FROM (
+                SELECT 'http://z.example/src' || CAST(doc_id % 10 AS VARCHAR)
+                           || '/f' || CAST(doc_id AS VARCHAR) || ' a.txt' AS url,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS size,
+                       '2017-10-17T14:30:26Z' AS modified_iso
+                FROM documents WHERE doc_id < 500
+                UNION ALL
+                SELECT 'http://z.example/f' || CAST(doc_id AS VARCHAR)
+                           || ' a.txt' AS url,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS size,
+                       '2017-10-17T14:30:26Z' AS modified_iso
+                FROM documents WHERE doc_id < 500 AND doc_id % 10 = 3
+            ) ORDER BY url
+        """,
+        "mapfile_load": """
+            SELECT 'f' || CAST(doc_id AS VARCHAR) || '.txt' AS file,
+                   'http://m.example/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents WHERE doc_id < 200 ORDER BY file
+        """,
+        "conversion_results_yaml": """
+            SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' AS source_url,
+                   pos,
+                   'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' || ext AS url,
+                   success
+            FROM (
+                SELECT doc_id, CAST(0 AS BIGINT) AS pos, '.webm' AS ext,
+                       TRUE AS success
+                FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 1, '.mp4', TRUE
+                FROM documents WHERE doc_id < 100 AND doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, 0, '.png', TRUE
+                FROM documents WHERE doc_id < 100 AND doc_id % 4 = 1
+                UNION ALL
+                SELECT doc_id, 0, '.gif', FALSE
+                FROM documents WHERE doc_id < 100 AND doc_id % 4 = 2
+            ) ORDER BY source_url, pos
+        """,
+        "rules_load": """
+            SELECT * FROM (VALUES
+                (CAST(0 AS BIGINT), 'ext', '.flv', CAST(0 AS BIGINT),
+                 'webm', 'webm', 'video/webm', 'ffmpeg -i {input} {output}'),
+                (0, 'ext', '.flv', 1,
+                 'mp4', 'mp4', 'video/mp4', 'ffmpeg -y -i {input} {output}'),
+                (1, 'regex', '.*\\.(mov|avi)$', 0,
+                 'mkv', 'mkv', 'video/x-matroska', 'ffmpeg -i {input} {output}')
+            ) AS t(ft_idx, matcher_kind, matcher, rule_idx,
+                   rule_name, ext, mime, command)
+            ORDER BY ft_idx, rule_idx
+        """,
+        "transclusions_load": """
+            SELECT 'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' AS resource_url,
+                   'http://pages.example/p' || CAST(doc_id AS VARCHAR) AS page_url,
+                   '20200101000000' AS ts,
+                   'div#v' AS selector
+            FROM documents WHERE doc_id < 100 AND doc_id % 5 = 0
+            ORDER BY resource_url
+        """,
+        "warcinfo_record": _warcinfo_sql(),
+        "logfile_rows": """
+            SELECT '/tmp/warcit_ray_fixture/walk/tree/src'
+                       || CAST(doc_id % 10 AS VARCHAR) || '/f'
+                       || CAST(doc_id AS VARCHAR) || ' a.txt' AS "file",
+                   'resource' AS "Record-Type",
+                   'http://w.example/src' || CAST(doc_id % 10 AS VARCHAR)
+                       || '/f' || CAST(doc_id AS VARCHAR) || '%20a.txt' AS "URL",
+                   '2020-02-02T02:02:02Z' AS "timestamp",
+                   'text/plain' AS "Content-Type",
+                   'text/plain' AS mime,
+                   '' AS charset
+            FROM documents WHERE doc_id < 500 ORDER BY "file"
         """,
         "mapfile_remap": """
             SELECT doc_id,

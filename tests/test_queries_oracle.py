@@ -82,6 +82,8 @@ def test_entry_smoke(entry_mod):
     "token_counts", "embedding_topk",
     "mapfile_remap", "charset_suffixes", "conversion_records",
     "transclusion_json",
+    "dir_walk", "zip_enumerate", "mapfile_load", "conversion_results_yaml",
+    "warcinfo_record", "logfile_rows", "rules_load", "transclusions_load",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

@@ -137,7 +137,10 @@ def test_crawl_dir_end_to_end(iana_dir, tmp_path):
                     max_generations=40)
     visited = {u for _, _, u in res["visit_log"]}
     assert file_url(os.path.join(iana_dir, "index.html")) in visited
-    assert file_url(os.path.join(iana_dir, "_css/2015.1/screen.css")) in visited
+    # NOTE: which non-seed URLs win admission under this TIGHT budget
+    # depends on the hash-ordered priority seq (a function of the tmp
+    # dir path) — only budget-independent facts are asserted here;
+    # specific deep URLs are asserted on the full-drain crawl below.
     assert len(visited) >= 10
     # all visits share the single 'file:' politeness host
     assert {h for _, h, _ in res["visit_log"]} == {"file:"}
@@ -161,6 +164,9 @@ def test_crawl_dir_end_to_end(iana_dir, tmp_path):
     file_members = {os.path.relpath(u[7:], iana_dir)
                     for _, _, u in fres["visit_log"]}
     assert file_members == zip_members
+    # the full drain reaches every real file, deep CSS included
+    assert file_url(os.path.join(iana_dir, "_css/2015.1/screen.css")) in \
+        {u for _, _, u in fres["visit_log"]}
 
 
 def test_crawl_dir_robots(tmp_path):

@@ -551,6 +551,288 @@ def transclusion_json(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# source/sink operators under oracle (S1-S5, K2-K4): deterministic
+# filesystem fixtures derived from the documents table, exercised
+# through the REAL source/sink code paths
+# ---------------------------------------------------------------------------
+
+_FIXTURE_ROOT = "/tmp/warcit_ray_fixture"
+_FIXED_EPOCH = 1580608922  # 2020-02-02T02:02:02Z
+_ZIP_DT = (2017, 10, 17, 14, 30, 26)  # the reference's zip-mtime golden
+
+
+def _head_docs(sf_dir: str, n: int) -> pd.DataFrame:
+    """First ``n`` docs by id — filtered DISTRIBUTED (doc_id < n), so
+    only the fixture-sized slice ever reaches the driver."""
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], pa.scalar(n)))
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(pick, batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _fixture_tag(sf_dir: str, n: int) -> str:
+    return "%s:%d" % (os.path.basename(os.path.normpath(sf_dir)), n)
+
+
+def _walk_fixture(sf_dir: str, n: int = 500) -> str:
+    """Deterministic file tree <root>/walk/tree/src<k>/f<id> a.txt with
+    pinned mtimes (content = doc text). Path is sf-independent so the
+    oracle SQL can reference it literally; a marker rebuilds on sf
+    change."""
+    import shutil
+
+    root = os.path.join(_FIXTURE_ROOT, "walk")
+    marker = os.path.join(root, ".marker")
+    tag = _fixture_tag(sf_dir, n)
+    tree = os.path.join(root, "tree")
+    if os.path.isfile(marker) and open(marker).read() == tag:
+        return tree
+    shutil.rmtree(root, ignore_errors=True)
+    for row in _head_docs(sf_dir, n).itertuples():
+        p = os.path.join(tree, "src%d" % (row.doc_id % 10),
+                         "f%d a.txt" % row.doc_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as fh:
+            fh.write((row.text or "").encode("utf-8"))
+        os.utime(p, (_FIXED_EPOCH, _FIXED_EPOCH))
+    with open(marker, "w") as fh:
+        fh.write(tag)
+    return tree
+
+
+def _zip_fixture(sf_dir: str, n: int = 500) -> str:
+    """Zip archive with members src<k>/f<id> a.txt, fixed date_time."""
+    import shutil
+    import zipfile
+
+    root = os.path.join(_FIXTURE_ROOT, "zip")
+    marker = os.path.join(root, ".marker")
+    tag = _fixture_tag(sf_dir, n)
+    path = os.path.join(root, "fix.zip")
+    if os.path.isfile(marker) and open(marker).read() == tag:
+        return path
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    with zipfile.ZipFile(path, "w") as zp:
+        for row in _head_docs(sf_dir, n).itertuples():
+            zi = zipfile.ZipInfo(
+                "src%d/f%d a.txt" % (row.doc_id % 10, row.doc_id), _ZIP_DT)
+            zp.writestr(zi, (row.text or "").encode("utf-8"))
+    with open(marker, "w") as fh:
+        fh.write(tag)
+    return path
+
+
+def dir_walk(sf_dir: str) -> pd.DataFrame:
+    """S1/S2 directory walker (base.py:36-41) + M1 escaping through the
+    real seed source: one row per file, URL from the escaped relpath,
+    stat-derived size/mtime."""
+    from ..sources.seeds import seeds_dataset
+
+    tree = _walk_fixture(sf_dir)
+    out = (
+        seeds_dataset([tree], "http://w.example/")
+        .select_columns(["url", "size", "modified_iso"])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    out["size"] = out["size"].astype("int64")
+    return out
+
+
+def zip_enumerate(sf_dir: str) -> pd.DataFrame:
+    """S3 zip enumerator + S4 pseudo-path parser (base.py:52-79): the
+    whole archive AND a '<zip>/src3' pseudo-path (subtree selected,
+    prefix stripped from URLs, zip date_time as the mtime)."""
+    from ..sources.seeds import seeds_dataset
+
+    zpath = _zip_fixture(sf_dir)
+    out = (
+        seeds_dataset([zpath, os.path.join(zpath, "src3")], "http://z.example/")
+        .select_columns(["url", "size", "modified_iso"])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    out["size"] = out["size"].astype("int64")
+    return out
+
+
+def mapfile_load(sf_dir: str) -> pd.DataFrame:
+    """S5 mapfile CSV reader (warcit.py:271-306) through load_mapfile
+    (dialect, header whitelist, validation)."""
+    from ..sources.sidetables import load_mapfile
+
+    root = os.path.join(_FIXTURE_ROOT, "mapfile")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "map.csv")
+    docs = _head_docs(sf_dir, 200)
+    with open(path, "w") as fh:
+        fh.write("file,URL\n")
+        for i in docs["doc_id"]:
+            fh.write("f%d.txt,http://m.example/%d\n" % (i, i))
+    rows = load_mapfile(path)
+    df = pd.DataFrame(rows).rename(columns={"URL": "url"})
+    return df.sort_values("file").reset_index(drop=True)
+
+
+def conversion_results_yaml(sf_dir: str) -> pd.DataFrame:
+    """K4 conversion-results sink + S7 reader round-trip
+    (converter.py:97-115,198-216): two merge-writes (the reference's
+    crude per-file checkpoint), read back, flattened in list order.
+    Unlike M9, failed conversions ARE retained in the YAML."""
+    import shutil
+
+    from ..sources.sidetables import load_conversion_results
+    from ..stages.transcode import write_results_yaml
+
+    root = os.path.join(_FIXTURE_ROOT, "results")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = _head_docs(sf_dir, 100)
+    ids = docs["doc_id"].tolist()
+    half = len(ids) // 2
+
+    def results_for(sub):
+        out = {}
+        for i in sub:
+            url = "http://docs.example/doc/%d.txt" % i
+            conv = _derived_conversions(url, i)
+            if conv:
+                out[url] = [
+                    {"url": c["url"], "output": "/dev/null",
+                     "metadata": c["metadata"], "type": c["type"],
+                     "success": c["success"]}
+                    for c in conv
+                ]
+        return out
+
+    # two merge-writes exercise the read-modify-write protocol
+    write_results_yaml(results_for(ids[:half]), root)
+    write_results_yaml(results_for(ids[half:]), root)
+    loaded = load_conversion_results(
+        os.path.join(root, "warcit-conversion-results.yaml"))
+    rows = {"source_url": [], "pos": [], "url": [], "success": []}
+    for src, entries in loaded.items():
+        for p, e in enumerate(entries):
+            rows["source_url"].append(src)
+            rows["pos"].append(p)
+            rows["url"].append(e["url"])
+            rows["success"].append(bool(e["success"]))
+    out = pd.DataFrame(rows)
+    out["pos"] = out["pos"].astype("int64")
+    return out.sort_values(["source_url", "pos"]).reset_index(drop=True)
+
+
+def rules_load(sf_dir: str) -> pd.DataFrame:
+    """S6 conversion-rules YAML reader (converter.py:70-95): ext and
+    regex matchers (regex compiled at load), ordered rule lists."""
+    from ..sources.sidetables import load_rules
+
+    root = os.path.join(_FIXTURE_ROOT, "rules")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "rules.yaml")
+    import yaml
+
+    with open(path, "w") as fh:
+        fh.write(yaml.dump({
+            "file_types": [
+                {"ext": ".flv", "conversion_rules": [
+                    {"name": "webm", "ext": "webm", "mime": "video/webm",
+                     "command": "ffmpeg -i {input} {output}"},
+                    {"name": "mp4", "ext": "mp4", "mime": "video/mp4",
+                     "command": "ffmpeg -y -i {input} {output}"},
+                ]},
+                {"regex": ".*\\.(mov|avi)$", "conversion_rules": [
+                    {"name": "mkv", "ext": "mkv", "mime": "video/x-matroska",
+                     "command": "ffmpeg -i {input} {output}"},
+                ]},
+            ],
+        }))
+    rules = load_rules(path)
+    rows = {"ft_idx": [], "matcher_kind": [], "matcher": [], "rule_idx": [],
+            "rule_name": [], "ext": [], "mime": [], "command": []}
+    for fi, ft in enumerate(rules["file_types"]):
+        kind = "ext" if "ext" in ft else "regex"
+        matcher = ft.get("ext") or ft["regex"].pattern  # compiled at load
+        for ri, rule in enumerate(ft["conversion_rules"]):
+            rows["ft_idx"].append(fi)
+            rows["matcher_kind"].append(kind)
+            rows["matcher"].append(matcher)
+            rows["rule_idx"].append(ri)
+            rows["rule_name"].append(rule["name"])
+            rows["ext"].append(rule["ext"])
+            rows["mime"].append(rule["mime"])
+            rows["command"].append(rule["command"])
+    out = pd.DataFrame(rows)
+    for c in ("ft_idx", "rule_idx"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["ft_idx", "rule_idx"]).reset_index(drop=True)
+
+
+def transclusions_load(sf_dir: str) -> pd.DataFrame:
+    """S8 transclusion-manifest reader (converter.py:220-230) over a
+    derived manifest for doc_id%5==0 docs."""
+    import yaml
+
+    from ..sources.sidetables import load_transclusions
+
+    root = os.path.join(_FIXTURE_ROOT, "tc")
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, "manifest.yaml")
+    docs = _head_docs(sf_dir, 100)
+    manifest = {}
+    for i in docs["doc_id"]:
+        if i % 5:
+            continue
+        url = "http://docs.example/doc/%d.txt" % i
+        manifest[url] = [{"url": "http://pages.example/p%d" % i,
+                          "timestamp": "20200101000000", "selector": "div#v"}]
+    with open(path, "w") as fh:
+        fh.write(yaml.dump({"transclusions": manifest}))
+    loaded = load_transclusions(path)
+    rows = {"resource_url": [], "page_url": [], "ts": [], "selector": []}
+    for src, entries in loaded.items():
+        for e in entries:
+            rows["resource_url"].append(src)
+            rows["page_url"].append(e["url"])
+            rows["ts"].append(str(e["timestamp"]))
+            rows["selector"].append(e["selector"])
+    return pd.DataFrame(rows).sort_values("resource_url").reset_index(drop=True)
+
+
+def warcinfo_record(sf_dir: str) -> pd.DataFrame:
+    """K2 warcinfo emitter (warcit.py:450-462): fixed software/format/
+    cmdline block, seq -1, pinned clock."""
+    from ..config import WarcitConfig
+    from ..stages.build_records import warcinfo_row
+
+    cfg = WarcitConfig(name="fixed.warc.gz", cmdline="warcit-ray test",
+                       creation_date="2026-01-01T00:00:00Z")
+    t = warcinfo_row(cfg).to_pandas()
+    out = t[["record_type", "target_uri", "warc_date", "content_type",
+             "content_length"]].copy()
+    out["payload_text"] = [p.decode("utf-8") for p in t["payload"]]
+    out["content_length"] = out["content_length"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def logfile_rows(sf_dir: str) -> pd.DataFrame:
+    """K3 CSV logfile projection (warcit.py:316-330) over the FULL
+    build pipeline (S1 walk -> payload load -> M7 record build): fixed
+    7-column schema, one row per record, warcinfo excluded."""
+    from ..config import WarcitConfig
+    from .warc_build import build_warc_dataset, logfile_table
+
+    tree = _walk_fixture(sf_dir)
+    cfg = WarcitConfig(url_prefix="http://w.example/", inputs=[tree],
+                       creation_date="2026-01-01T00:00:00Z", cmdline="x")
+    t = logfile_table(build_warc_dataset(cfg)).to_pandas()
+    return t.sort_values("file").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # training-data ops
 # ---------------------------------------------------------------------------
 
