@@ -1129,7 +1129,7 @@ def phash_near_dup(sf_dir: str) -> pd.DataFrame:
     ds = rd.from_pandas(pd.concat([base, pd.DataFrame(planted)], ignore_index=True))
 
     pairs = banded_hamming_pairs(ds, sig_col="phash", id_col="image_id",
-                                 max_hamming=6, id_type=pa.string())
+                                 max_hamming=6)
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
                              "id_b": pd.Series([], dtype="object"),

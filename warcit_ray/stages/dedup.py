@@ -226,9 +226,8 @@ def _emit_pairs_bulk(df: pd.DataFrame, bkey_col: str, id_col: str,
     All pairs, not just bucket-min pairs: an LSH false positive as the
     bucket minimum must not hide true pairs among the other members.
     Deterministic cap: members sorted by id, first ``bucket_cap`` kept,
-    so a degenerate bucket costs O(cap^2) not O(n^2). Emits a ``pkey``
-    string for pair dedup."""
-    cols = ["id_a", "id_b", "pkey"] + ["%s_a" % c for c in extra_cols] \
+    so a degenerate bucket costs O(cap^2) not O(n^2)."""
+    cols = ["id_a", "id_b"] + ["%s_a" % c for c in extra_cols] \
         + ["%s_b" % c for c in extra_cols]
     df = df.drop_duplicates([bkey_col, id_col]).sort_values([bkey_col, id_col])
     keys = df[bkey_col].to_numpy()
@@ -247,7 +246,6 @@ def _emit_pairs_bulk(df: pd.DataFrame, bkey_col: str, id_col: str,
     else:
         IA = IB = np.empty(0, dtype=np.int64)
     out = pd.DataFrame({"id_a": ids[IA], "id_b": ids[IB]})
-    out["pkey"] = out["id_a"].astype(str) + "|" + out["id_b"].astype(str)
     for c in extra_cols:
         v = df[c].to_numpy()
         out["%s_a" % c] = v[IA]
@@ -292,6 +290,13 @@ def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
             out = pair_filter(out)  # applied to empties too: uniform schema
         return out
 
+    def emit_with_pkey(g: pd.DataFrame) -> pd.DataFrame:
+        # the large tier's distributed pair dedup groups on one string
+        # key; built AFTER the filter so rejected pairs pay nothing
+        out = emit(g)
+        out["pkey"] = out["id_a"].astype(str) + "|" + out["id_b"].astype(str)
+        return out
+
     n_rows = n_rows_hint
     if n_rows is None:
         n_rows = bands.count()
@@ -317,8 +322,7 @@ def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
 
         def emit_all(df: pd.DataFrame) -> pd.DataFrame:
             out = emit(df)  # bulk emit handles every bucket in the block
-            out = out.drop_duplicates("pkey")
-            return out.drop(columns=["pkey"])
+            return out.drop_duplicates(["id_a", "id_b"])
 
         return (
             bands.map_batches(pick, batch_format="pandas")
@@ -326,7 +330,8 @@ def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
             .map_batches(emit_all, batch_format="pandas", batch_size=None)
         )
 
-    pairs = bands.groupby(bkey_col).map_groups(emit, batch_format="pandas")
+    pairs = bands.groupby(bkey_col).map_groups(emit_with_pkey,
+                                               batch_format="pandas")
 
     def first(g: pd.DataFrame) -> pd.DataFrame:
         return g.head(1)
@@ -562,34 +567,39 @@ def hamming64_arrays(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def sig_chunk_rows(batch: pa.Table, *, sig_col: str, id_col: str,
-                   n_chunks: int, id_type=pa.int64()) -> pa.Table:
+                   n_chunks: int) -> pa.Table:
     """Explode a 64-bit signature into ``n_chunks`` equal-width chunk
     buckets (pigeonhole banding: two sigs within hamming distance
-    ``n_chunks - 1`` share at least one exact chunk)."""
+    ``n_chunks - 1`` share at least one exact chunk). Vectorized: the
+    chunk keys come from ``n_chunks`` shift/mask passes over the
+    signature array, ids/sigs replicate via numpy tile."""
     width = 64 // n_chunks
-    mask = (1 << width) - 1
-    ids = batch.column(id_col).to_pylist()
-    sigs = batch.column(sig_col).to_pylist()
-    rows = {"bkey": [], id_col: [], "sig": []}
-    for i, s in zip(ids, sigs):
-        u = s & ((1 << 64) - 1)
-        for c in range(n_chunks):
-            rows["bkey"].append((((u >> (width * c)) & mask) << 4) | c)
-            rows[id_col].append(i)
-            rows["sig"].append(s)
+    mask = np.uint64((1 << width) - 1)
+    n = batch.num_rows
+    sig_arr = batch.column(sig_col)
+    if isinstance(sig_arr, pa.ChunkedArray):
+        sig_arr = sig_arr.combine_chunks()
+    u = sig_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+    keys = np.empty((n_chunks, n), dtype=np.int64)
+    for c in range(n_chunks):
+        keys[c] = ((((u >> np.uint64(width * c)) & mask)
+                    << np.uint64(4)) | np.uint64(c)).astype(np.int64)
+    ids = batch.column(id_col)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    idx = pa.array(np.tile(np.arange(n, dtype=np.int64), n_chunks))
     return pa.table(
         {
-            "bkey": pa.array(rows["bkey"], type=pa.int64()),
-            id_col: pa.array(rows[id_col], type=id_type),
-            "sig": pa.array(rows["sig"], type=pa.int64()),
+            "bkey": pa.array(keys.reshape(-1)),
+            id_col: ids.take(idx),
+            "sig": sig_arr.take(idx),
         }
     )
 
 
 def banded_hamming_pairs(ds, *, sig_col: str, id_col: str, max_hamming: int,
                          bucket_cap: int = 256,
-                         small_threshold: int = 2_000_000,
-                         id_type=pa.int64()) -> pd.DataFrame:
+                         small_threshold: int = 2_000_000) -> pd.DataFrame:
     """Distributed near-dup pairs by signature hamming distance (used by
     SimHash text near-dup and pHash image near-dup).
 
@@ -607,7 +617,7 @@ def banded_hamming_pairs(ds, *, sig_col: str, id_col: str, max_hamming: int,
 
     chunks = ds.map_batches(
         lambda b: sig_chunk_rows(b, sig_col=sig_col, id_col=id_col,
-                                 n_chunks=n_chunks, id_type=id_type),
+                                 n_chunks=n_chunks),
         batch_format="pyarrow",
     )
 
