@@ -19,11 +19,13 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship: WARC-equivalent resource rows + exact-dedup annotation
-    over the sf0.001 documents table (read -> map_batches -> aggregate)."""
+    """Flagship (north rule): the crawl frontier + fetch scheduler over
+    the deterministic image+caption corpus at sf0.001 — sharded
+    cuckoo URL-seen, politeness, robots, priority heap, per-generation
+    lineage checkpoints — returning the WARC-equivalent record rows."""
     from warcit_ray.pipelines import queries as q
 
-    return q.warc_build_docs("/root/testdata/sf0.001")
+    return q.crawl_records("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -72,8 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.ann_ivf,
         # crawl + image pipelines (north rule; rows-only)
         "crawl_demo": q.crawl_demo,
+        "crawl_records": q.crawl_records,
         "image_transcode": q.image_transcode,
         "image_features": q.image_features,
+        "image_resize": q.image_resize,
         "phash_near_dup": q.phash_near_dup,
     }
 
@@ -420,6 +424,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
                        AS ws_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "embedding_near_dup": """
+            -- exact all-pairs cosine over the same corpus + planted
+            -- perturbations. The engine's hyperplane-LSH path is
+            -- approximate in general, but with the seeded planes the
+            -- planted near-identical pairs (cos ~ 0.9999) collide in
+            -- every bucket deterministically, and no natural pair in
+            -- the synthetic embeddings reaches the 0.98 threshold —
+            -- so the exact SQL and the LSH engine agree row-for-row.
+            WITH pert AS (
+                SELECT vec_id + 1000000 AS vec_id,
+                       list_transform(embedding,
+                           x -> CAST(CAST(x AS FLOAT) * CAST(1.001 AS FLOAT)
+                                     + CAST(0.0001 AS FLOAT) AS FLOAT)
+                       ) AS embedding
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      ORDER BY vec_id LIMIT 10)
+            ), base AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL SELECT * FROM pert
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM base a JOIN base b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
+            ORDER BY id_a, id_b
         """,
         "embedding_topk": """
             WITH q AS (

@@ -95,7 +95,11 @@ def bench_frontier(results: dict, thr: dict) -> None:
         num_seen_shards=8, num_host_shards=8,
         clock_iso=clock,
         batch_size=16384,
-        small_frontier_threshold=8192, small_admit_threshold=65536,
+        # plain-task tiers up to 256k-row generations: the fused
+        # fetch+explode tasks keep frontier tables in the object store
+        # (ref tier) and skip per-generation Ray Data job overhead; the
+        # Dataset tier remains the >task_frontier backpressure path
+        small_frontier_threshold=8192, small_admit_threshold=262144,
         track_visits=False,
     )
     dt = time.time() - t

@@ -84,6 +84,7 @@ def test_entry_smoke(entry_mod):
     "transclusion_json",
     "dir_walk", "zip_enumerate", "mapfile_load", "conversion_results_yaml",
     "warcinfo_record", "logfile_rows", "rules_load", "transclusions_load",
+    "embedding_near_dup",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
@@ -98,9 +99,10 @@ def test_query_vs_oracle(entry_mod, con, name):
 
 
 @pytest.mark.parametrize("name", sorted([
-    "warc_digests", "embedding_near_dup", "minhash_dedup", "simhash_dedup",
+    "warc_digests", "minhash_dedup", "simhash_dedup",
     "lang_id", "quality_scores", "fingerprints", "ann_ivf", "crawl_demo",
-    "image_transcode", "image_features", "phash_near_dup",
+    "crawl_records", "image_transcode", "image_features", "phash_near_dup",
+    "image_resize",
 ]))
 def test_rows_only_queries_run(entry_mod, name):
     df = _to_df(entry_mod.queries()[name](SF_DIR))
@@ -117,9 +119,10 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     # rows-only ops are exactly the non-SQL-expressible ones
     rows_only = qs - sqls
     expected_rows_only = {
-        "warc_digests", "embedding_near_dup", "minhash_dedup", "simhash_dedup",
+        "warc_digests", "minhash_dedup", "simhash_dedup",
         "lang_id", "quality_scores", "fingerprints", "ann_ivf", "crawl_demo",
-        "image_transcode", "image_features", "phash_near_dup",
+        "crawl_records", "image_transcode", "image_features", "phash_near_dup",
+        "image_resize",
     }
     assert rows_only == expected_rows_only
 

@@ -1034,6 +1034,32 @@ def warc_digests(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def crawl_records(sf_dir: str) -> pd.DataFrame:
+    """Flagship (north rule end to end): seed URLs through the sharded
+    cuckoo seen-set, politeness token buckets, robots gating and the
+    priority frontier; admitted URLs fetch from the image+caption
+    corpus and emit WARC-equivalent resource rows with SHA-1 digests,
+    checkpointed per generation with lineage. Returns the record rows
+    (payload column dropped; the digest attests the bytes)."""
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .crawl import WebGraph, crawl
+
+    corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 400))
+    graph = WebGraph(corpus.num_rows)
+    with tempfile.TemporaryDirectory() as ck:
+        crawl(corpus, graph=graph, n_seeds=8, max_generations=12,
+              num_seen_shards=2, num_host_shards=2, checkpoint_dir=ck)
+        parts = sorted(glob.glob(os.path.join(ck, "gen=*", "records", "*.parquet")))
+        tables = [pq.read_table(p) for p in parts]
+    t = pa.concat_tables(tables).drop_columns(["payload"])
+    out = t.to_pandas()
+    return out.sort_values(["generation", "target_uri"]).reset_index(drop=True)
+
+
 def crawl_demo(sf_dir: str) -> pd.DataFrame:
     """The frontier+fetch scheduler over a deterministic synthetic
     image corpus (input_hint schema), sized to the sf directory."""
@@ -1104,6 +1130,38 @@ def image_features(sf_dir: str) -> pd.DataFrame:
     for c in ("mean_r", "mean_g", "mean_b", "luma_std", "edge_density"):
         out[c] = out[c].round(6)
     return out
+
+
+def image_resize(sf_dir: str) -> pd.DataFrame:
+    """Multimodal resize stage (actor pool, wide binary rows, small
+    batches): decode -> 32x32 area resize -> re-encode; output digest
+    keeps the result checkable without shipping pixels."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..stages.multimodal import ImageDecodeResize
+
+    corpus = _corpus_for(sf_dir, n=min(_scale_n(sf_dir), 150))
+
+    def digest(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha1(b or b"").hexdigest()
+              for b in t.column("resized").to_pylist()]
+        lens = [len(b or b"") for b in t.column("resized").to_pylist()]
+        return pa.table({
+            "image_id": t["image_id"],
+            "resize_ok": t["resize_ok"],
+            "out_len": pa.array(lens, type=pa.int64()),
+            "resized_sha1": pa.array(hs, type=pa.string()),
+        })
+
+    return (
+        rd.from_arrow(corpus.select(["image_id", "bytes", "fmt"]))
+        .map_batches(ImageDecodeResize, batch_size=32,
+                     batch_format="pyarrow", concurrency=2)
+        .map_batches(digest, batch_format="pyarrow")
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    )
 
 
 def phash_near_dup(sf_dir: str) -> pd.DataFrame:
