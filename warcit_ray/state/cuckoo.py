@@ -90,6 +90,40 @@ class CuckooFilter:
                 return True
         raise RuntimeError("cuckoo filter full (capacity exceeded)")
 
+    def _bulk_insert(self, fp: np.ndarray, i1: np.ndarray,
+                     i2: np.ndarray) -> np.ndarray:
+        """Vectorized placement of new keys into empty slots: each pass
+        gathers the pending keys' candidate buckets, finds first empty
+        slots, and scatters fingerprints with first-wins-per-bucket
+        semantics (np.unique guards intra-batch bucket collisions; the
+        loser retries next pass against the updated table). Keys that
+        find no empty slot in either bucket after a few passes return
+        as the remainder for the per-key eviction path (rare below the
+        0.84 design load)."""
+        pending = np.arange(len(fp))
+        for _ in range(6):
+            if not len(pending):
+                break
+            progress = False
+            for buckets in (i1, i2):
+                if not len(pending):
+                    break
+                b = buckets[pending]
+                rows = self.table[b]
+                slot = np.argmax(rows == 0, axis=1)
+                has_empty = rows[np.arange(len(b)), slot] == 0
+                _, first = np.unique(b, return_index=True)
+                first_mask = np.zeros(len(b), dtype=bool)
+                first_mask[first] = True
+                ok = has_empty & first_mask
+                if ok.any():
+                    progress = True
+                    self.table[b[ok], slot[ok]] = fp[pending[ok]]
+                    pending = pending[~ok]
+            if not progress:
+                break
+        return pending
+
     def add_if_absent_batch(self, h: np.ndarray) -> np.ndarray:
         """For each key: True if it was newly added (i.e. NOT seen
         before), False if already present. Duplicate keys within the
@@ -105,9 +139,10 @@ class CuckooFilter:
         fp = self._fingerprints(new_keys)
         i1 = self._i1(new_keys)
         i2 = self._i2(i1, fp)
-        for k in range(len(new_keys)):
+        rest = self._bulk_insert(fp, i1, i2)
+        for k in rest:  # eviction path — rare below design load
             self._insert_one(int(i1[k]), int(i2[k]), int(fp[k]))
-            self.count += 1
+        self.count += len(new_keys)
         added[new_first] = True
         return added
 
