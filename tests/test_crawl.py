@@ -322,3 +322,18 @@ def test_bucket_lookup_matches_dict(corpus, ray_session):
     for key in list(full)[:40]:
         assert lookup.get(key, None) == full[key]
     assert lookup.get("img-nonexistent", ("", "", "")) == ("", "", "")
+
+
+def test_ref_tier_promotion_to_dataset_equivalent(corpus):
+    """A frontier bigger than task_frontier promotes the ref tier to
+    the streaming Dataset tier via from_arrow_refs (no driver transit);
+    forcing a tiny threshold must not change the crawl."""
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=10, num_seen_shards=2,
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32,
+              track_visits=True)
+    base = crawl(corpus, graph=graph, **kw)
+    promoted = crawl(corpus, graph=graph, task_frontier_threshold=50, **kw)
+    assert sorted(base["visit_log"]) == sorted(promoted["visit_log"])
+    assert base["admitted"] == promoted["admitted"]
+    assert base["seen"] == promoted["seen"]

@@ -571,6 +571,7 @@ def crawl(
     seen_fp_bits: int = 16,
     corpus_partitions: int | None = None,
     corpus_broadcast_threshold: int = 256 << 20,
+    task_frontier_threshold: int | None = None,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
@@ -661,7 +662,11 @@ def crawl(
     # frontier generations up to this size dispatch as plain parallel ray
     # tasks (fused probe+offer, no Dataset operator overhead); beyond it
     # the streaming Dataset pipeline takes over (backpressure + spilling)
-    task_frontier = max(small_frontier, 4_000_000 // max(1, batch_size) * batch_size)
+    # frontier rows above this promote the ref/task tiers to the
+    # streaming Dataset tier (backpressure + spilling); injectable so
+    # the promotion path is testable at small scale
+    task_frontier = task_frontier_threshold if task_frontier_threshold is not None \
+        else max(small_frontier, 4_000_000 // max(1, batch_size) * batch_size)
     fetch_explode_task = ray.remote(num_cpus=1, num_returns=3)(fetch_and_explode)
     probe_offer_task = ray.remote(num_cpus=1)(probe_and_offer_batch)
 
