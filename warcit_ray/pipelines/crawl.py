@@ -252,28 +252,33 @@ def light_fetch_batch(batch: pa.Table, graph: WebGraph, clock_iso: str) -> pa.Ta
     record payload is the URL itself (no image corpus lookup), but the
     full record/digest/link bookkeeping is identical. Used to measure
     sustained frontier URLs/sec with the seen/offer/admit machinery at
-    full tilt."""
-    out = {f: [] for f in CRAWL_RECORD_FIELDS}
-    for row in batch.to_pylist():
-        idx = graph.idx_of(row["url"])
-        payload = row["url"].encode("utf-8")
-        digest = sha1_b32(payload)
-        out["generation"].append(row["generation"])
-        out["seq"].append(row["seq"])
-        out["record_type"].append("resource")
-        out["target_uri"].append(row["url"])
-        out["host"].append(row["host"])
-        out["warc_date"].append(clock_iso)
-        out["content_type"].append("text/plain")
-        out["payload"].append(payload)
-        out["content_length"].append(len(payload))
-        out["payload_digest"].append(digest)
-        out["record_id"].append(
-            record_id(row["url"], clock_iso, digest, "resource", row["seq"]))
-        out["image_id"].append("")
-        out["fmt"].append("")
-        out["caption"].append("")
-        out["links"].append(graph.links(idx))
+    full tilt. Column-wise iteration: per-row hashing (sha1/uuid5) is
+    intrinsic, but no per-row dicts are built."""
+    urls = batch.column("url").to_pylist()
+    gens = batch.column("generation").to_pylist()
+    seqs = batch.column("seq").to_pylist()
+    hosts = batch.column("host").to_pylist()
+    n = len(urls)
+    payloads = [u.encode("utf-8") for u in urls]
+    digests = [sha1_b32(p) for p in payloads]
+    out = {
+        "generation": gens,
+        "seq": seqs,
+        "record_type": ["resource"] * n,
+        "target_uri": urls,
+        "host": hosts,
+        "warc_date": [clock_iso] * n,
+        "content_type": ["text/plain"] * n,
+        "payload": payloads,
+        "content_length": [len(p) for p in payloads],
+        "payload_digest": digests,
+        "record_id": [record_id(u, clock_iso, d, "resource", s)
+                      for u, d, s in zip(urls, digests, seqs)],
+        "image_id": [""] * n,
+        "fmt": [""] * n,
+        "caption": [""] * n,
+        "links": [graph.links(graph.idx_of(u)) for u in urls],
+    }
     schema = pa.schema(
         [
             pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
@@ -367,29 +372,33 @@ def fetch_batch(batch: pa.Table, corpus_ref, graph: WebGraph,
     """Stateless-task fetch/convert: admitted URL -> corpus row -> WARC
     resource row + discovered links."""
     corpus = _resolve_corpus(corpus_ref)
-    out = {f: [] for f in CRAWL_RECORD_FIELDS}
-    for row in batch.to_pylist():
-        idx = graph.idx_of(row["url"])
-        image_id = "img%08d" % idx
-        payload, fmt, caption = corpus.get(image_id, (b"", "", ""))
-        digest = sha1_b32(payload)
-        out["generation"].append(row["generation"])
-        out["seq"].append(row["seq"])
-        out["record_type"].append("resource")
-        out["target_uri"].append(row["url"])
-        out["host"].append(row["host"])
-        out["warc_date"].append(clock_iso)
-        out["content_type"].append(MIME_BY_FMT.get(fmt, "application/octet-stream"))
-        out["payload"].append(payload)
-        out["content_length"].append(len(payload))
-        out["payload_digest"].append(digest)
-        out["record_id"].append(
-            record_id(row["url"], clock_iso, digest, "resource", row["seq"])
-        )
-        out["image_id"].append(image_id)
-        out["fmt"].append(fmt)
-        out["caption"].append(caption)
-        out["links"].append(graph.links(idx))
+    urls = batch.column("url").to_pylist()
+    seqs = batch.column("seq").to_pylist()
+    idxs = [graph.idx_of(u) for u in urls]
+    image_ids = ["img%08d" % i for i in idxs]
+    rows = [corpus.get(im, (b"", "", "")) for im in image_ids]
+    payloads = [r[0] for r in rows]
+    fmts = [r[1] for r in rows]
+    digests = [sha1_b32(p) for p in payloads]
+    out = {
+        "generation": batch.column("generation").to_pylist(),
+        "seq": seqs,
+        "record_type": ["resource"] * len(urls),
+        "target_uri": urls,
+        "host": batch.column("host").to_pylist(),
+        "warc_date": [clock_iso] * len(urls),
+        "content_type": [MIME_BY_FMT.get(f, "application/octet-stream")
+                         for f in fmts],
+        "payload": payloads,
+        "content_length": [len(p) for p in payloads],
+        "payload_digest": digests,
+        "record_id": [record_id(u, clock_iso, d, "resource", s)
+                      for u, d, s in zip(urls, digests, seqs)],
+        "image_id": image_ids,
+        "fmt": fmts,
+        "caption": [r[2] for r in rows],
+        "links": [graph.links(i) for i in idxs],
+    }
     schema = pa.schema(
         [
             pa.field("generation", pa.int64()), pa.field("seq", pa.int64()),
