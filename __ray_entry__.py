@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q.token_counts,
         "embedding_topk": q.embedding_topk,
         "embedding_near_dup": q.embedding_near_dup,
+        "jaccard_pairs": q.jaccard_pairs,
         "minhash_dedup": q.minhash_dedup,
         "simhash_dedup": q.simhash_dedup,
         "lang_id": q.lang_id,
@@ -449,6 +450,34 @@ def oracle_sql() -> dict[str, str]:
             FROM base a JOIN base b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.98
             ORDER BY id_a, id_b
+        """,
+        "jaccard_pairs": """
+            WITH heads AS (
+                SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 20
+            ), pert AS (
+                SELECT doc_id + 1000000 AS doc_id,
+                       'ZZZ ' || array_to_string(
+                           regexp_split_to_array(trim(text), '\\s+')[2:], ' ') AS text
+                FROM heads
+            ), both_sides AS (
+                SELECT * FROM heads UNION ALL SELECT * FROM pert
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(regexp_split_to_array(
+                               trim(text), '\\s+')) - 1, 1)),
+                           i -> regexp_split_to_array(trim(text), '\\s+')[i] || ' '
+                                || regexp_split_to_array(trim(text), '\\s+')[i+1] || ' '
+                                || regexp_split_to_array(trim(text), '\\s+')[i+2]
+                       )) AS shingles
+                FROM both_sides
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.shingles, b.shingles))),
+                         6) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
+            ORDER BY id_a
         """,
         "embedding_topk": """
             WITH q AS (

@@ -81,7 +81,7 @@ def test_entry_smoke(entry_mod):
     "iso_timestamps", "revisit_expansion", "warc_build_docs", "dedup_exact",
     "token_counts", "embedding_topk",
     "mapfile_remap", "charset_suffixes", "conversion_records",
-    "transclusion_json",
+    "transclusion_json", "jaccard_pairs",
     "dir_walk", "zip_enumerate", "mapfile_load", "conversion_results_yaml",
     "warcinfo_record", "logfile_rows", "rules_load", "transclusions_load",
     "embedding_near_dup",

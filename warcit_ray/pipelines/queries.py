@@ -946,6 +946,60 @@ def simhash_dedup(sf_dir: str) -> pd.DataFrame:
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _smallest_ids(sf_dir: str, n: int = 20) -> list[int]:
+    """Distributed min-n doc ids: per-batch nsmallest partials, tiny
+    driver combine (n x blocks rows) — never the full id column."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(n, "doc_id")
+
+    parts = (_rp(sf_dir, "documents", ["doc_id"])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    return parts.nsmallest(n, "doc_id")["doc_id"].tolist()
+
+
+def _shingle3(text: str) -> set:
+    toks = text.split()
+    return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+
+def jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """n-gram (3-token shingle) Jaccard as a first-class operator:
+    exact set Jaccard for the planted near-dup pairs, computed the
+    small-tier way (distributed semi-join filter + shingling, one
+    object-store crunch task) — the same verification kernel the
+    MinHash pipeline uses, here over raw shingle strings so DuckDB can
+    reproduce it exactly."""
+    ds = _docs_with_near_dups(sf_dir)
+    head = _smallest_ids(sf_dir, 20)
+    pairs = [(int(i), int(i) + 1_000_000) for i in head]
+    cand = pa.array([x for p in pairs for x in p], type=pa.int64())
+
+    def pick_shingle(t: pa.Table) -> pa.Table:
+        t = t.select(["doc_id", "text"]).filter(
+            pc.is_in(t["doc_id"], value_set=cand))
+        sh = [sorted(_shingle3(x or "")) for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "sh": pa.array(sh, type=pa.list_(pa.string()))})
+
+    sub = ds.map_batches(pick_shingle, batch_format="pyarrow").repartition(1)
+
+    def verify(t: pa.Table) -> pa.Table:
+        m = {i: set(s) for i, s in zip(t.column("doc_id").to_pylist(),
+                                       t.column("sh").to_pylist())}
+        out_a, out_b, out_j = [], [], []
+        for a, b in pairs:
+            sa, sb = m.get(a, set()), m.get(b, set())
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(round(len(sa & sb) / max(1, len(sa | sb)), 6))
+        return pa.table({"id_a": pa.array(out_a, type=pa.int64()),
+                         "id_b": pa.array(out_b, type=pa.int64()),
+                         "jaccard": pa.array(out_j, type=pa.float64())})
+
+    return (sub.map_batches(verify, batch_format="pyarrow", batch_size=None)
+            .to_pandas().sort_values("id_a").reset_index(drop=True))
+
+
 def embedding_near_dup(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import embedding_near_dups
 
