@@ -864,7 +864,7 @@ def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame
     from ..stages.similarity import brute_topk
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = emb.to_pandas().sort_values("vec_id").head(n_queries)
+    qdf = _smallest_rows(emb, "vec_id", n_queries)
     queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
     out = brute_topk(emb, queries, k=k, dtype=np.float64)
     for c in ("query_id", "vec_id", "rank"):
@@ -915,7 +915,7 @@ def _docs_with_near_dups(sf_dir: str):
     import ray.data as rd
 
     base = _rp(sf_dir, "documents", ["doc_id", "text"])
-    head = base.to_pandas().sort_values("doc_id").head(20)
+    head = _smallest_rows(base, "doc_id", 20)
     pert = head.copy()
     pert["doc_id"] = pert["doc_id"] + 1_000_000
     pert["text"] = pert["text"].map(
@@ -946,15 +946,19 @@ def simhash_dedup(sf_dir: str) -> pd.DataFrame:
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
-def _smallest_ids(sf_dir: str, n: int = 20) -> list[int]:
-    """Distributed min-n doc ids: per-batch nsmallest partials, tiny
-    driver combine (n x blocks rows) — never the full id column."""
+def _smallest_rows(ds, key: str, n: int) -> pd.DataFrame:
+    """Distributed min-n rows by ``key``: per-batch nsmallest partials,
+    tiny driver combine (n x blocks rows) — never the full table."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.nsmallest(n, "doc_id")
+        return df.nsmallest(n, key)
 
-    parts = (_rp(sf_dir, "documents", ["doc_id"])
-             .map_batches(partial, batch_format="pandas").to_pandas())
-    return parts.nsmallest(n, "doc_id")["doc_id"].tolist()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return parts.nsmallest(n, key).reset_index(drop=True)
+
+
+def _smallest_ids(sf_dir: str, n: int = 20) -> list[int]:
+    return _smallest_rows(_rp(sf_dir, "documents", ["doc_id"]),
+                          "doc_id", n)["doc_id"].tolist()
 
 
 def _shingle3(text: str) -> set:
@@ -1007,7 +1011,7 @@ def embedding_near_dup(sf_dir: str) -> pd.DataFrame:
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     # deterministic near-dups: tiny perturbations of the first 10 vectors
-    head = emb.to_pandas().sort_values("vec_id").head(10)
+    head = _smallest_rows(emb, "vec_id", 10)
     pert = head.copy()
     pert["vec_id"] = pert["vec_id"] + 1_000_000
     pert["embedding"] = pert["embedding"].map(
@@ -1023,7 +1027,7 @@ def ann_ivf(sf_dir: str) -> pd.DataFrame:
     from ..stages.similarity import ivf_topk
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = emb.to_pandas().sort_values("vec_id").head(5)
+    qdf = _smallest_rows(emb, "vec_id", 5)
     queries = np.asarray(qdf["embedding"].tolist(), dtype=np.float64)
     out = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=3)
     return out[["query_id", "vec_id", "rank"]].astype("int64").reset_index(drop=True)
