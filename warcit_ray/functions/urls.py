@@ -153,11 +153,25 @@ def surt(url: str) -> str:
 def surt_host(url: str) -> str:
     """Politeness partition key: registered host for http(s), scheme tag
     for pseudo-URLs (all file:// traffic shares one 'host', like a local
-    disk; each zip archive is its own host)."""
+    disk; each zip archive is its own host). String fast path for
+    'http(s)://simplehost/...' (no port/userinfo) — urlsplit costs
+    ~3us/URL, which showed up in the offer stage at frontier scale."""
     if url.startswith("zip://"):
         return "zip:" + url[6:].split("!", 1)[0]
     if url.startswith("file://"):
         return "file:"
+    if url.startswith("http://"):
+        rest = url[7:]
+    elif url.startswith("https://"):
+        rest = url[8:]
+    else:
+        rest = None
+    if rest is not None:
+        slash = rest.find("/")
+        host = rest[:slash] if slash >= 0 else rest
+        if host and ":" not in host and "@" not in host \
+                and "?" not in host and "#" not in host:
+            return host.lower()
     try:
         h = urlsplit(url).hostname
     except ValueError:
