@@ -79,3 +79,39 @@ def test_lossless_codecs_roundtrip_any_image(h, w, seed):
     img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     for fmt in ("png", "bmp", "ppm"):
         assert np.array_equal(decode(encode(img, fmt), fmt), img)
+
+
+_URL_CHARS = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126), max_size=40)
+
+
+@given(host=_URL_CHARS, path=_URL_CHARS,
+       scheme=st.sampled_from(["http://", "https://"]))
+@settings(max_examples=300, deadline=None)
+def test_url_path_fast_path_matches_urlsplit(scheme, host, path):
+    from urllib.parse import urlsplit
+
+    from warcit_ray.state.robots import url_path
+
+    url = scheme + host + "/" + path
+    try:
+        want = urlsplit(url).path or "/"
+    except ValueError:
+        want = "/"
+    assert url_path(url) == want
+
+
+@given(host=_URL_CHARS, path=_URL_CHARS,
+       scheme=st.sampled_from(["http://", "https://"]))
+@settings(max_examples=300, deadline=None)
+def test_surt_host_fast_path_matches_urlsplit(scheme, host, path):
+    from urllib.parse import urlsplit
+
+    from warcit_ray.functions.urls import surt_host
+
+    url = scheme + host + "/" + path
+    try:
+        want = (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        want = ""
+    assert surt_host(url) == want

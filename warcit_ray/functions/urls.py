@@ -126,7 +126,7 @@ def surt(url: str) -> str:
     if rest is not None:
         slash = rest.find("/")
         host = rest[:slash] if slash >= 0 else rest
-        if host and not any(c in host for c in ":@?#") and "?" not in rest and "#" not in rest:
+        if host and not any(c in host for c in ":@?#[]") and "?" not in rest and "#" not in rest:
             path = rest[slash:] if slash >= 0 else "/"
             return ",".join(reversed(host.lower().rstrip(".").split("."))) + ")" + path
     try:
@@ -170,7 +170,8 @@ def surt_host(url: str) -> str:
         slash = rest.find("/")
         host = rest[:slash] if slash >= 0 else rest
         if host and ":" not in host and "@" not in host \
-                and "?" not in host and "#" not in host:
+                and "?" not in host and "#" not in host \
+                and "[" not in host and "]" not in host:
             return host.lower()
     try:
         h = urlsplit(url).hostname

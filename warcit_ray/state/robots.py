@@ -47,7 +47,8 @@ def url_path(url: str) -> str:
     if rest is not None and "?" not in rest and "#" not in rest:
         slash = rest.find("/")
         host = rest[:slash] if slash >= 0 else rest
-        if host and ":" not in host and "@" not in host:
+        if host and ":" not in host and "@" not in host \
+                and "[" not in host and "]" not in host:
             return rest[slash:] if slash >= 0 else "/"
     try:
         return urlsplit(url).path or "/"
