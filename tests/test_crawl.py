@@ -324,6 +324,110 @@ def test_bucket_lookup_matches_dict(corpus, ray_session):
     assert lookup.get("img-nonexistent", ("", "", "")) == ("", "", "")
 
 
+def test_checkpointed_resume_dataset_tier(corpus, tmp_path):
+    """VERDICT r2 #1: with the Dataset frontier tier FORCED
+    (task_frontier_threshold=0), the checkpointed next-frontier is
+    written distributed (next_frontier/ part files, never concatenated
+    on the driver) and resume from it is bit-identical."""
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=12, num_seen_shards=2,
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32,
+              track_visits=True, task_frontier_threshold=0)
+    ck_full = str(tmp_path / "full")
+    crawl(corpus, graph=graph, checkpoint_dir=ck_full, **kw)
+
+    ck_part = str(tmp_path / "part")
+    crawl(corpus, graph=graph, checkpoint_dir=ck_part,
+          stop_after_generation=3, **kw)
+    # the interrupted checkpoint wrote the frontier as a distributed
+    # part-file directory (not a driver-concatenated single file)
+    fdirs = [os.path.join(ck_part, g, "next_frontier")
+             for g in sorted(os.listdir(ck_part))]
+    assert any(os.path.isdir(d) and os.listdir(d) for d in fdirs)
+    resumed = crawl(corpus, graph=graph, checkpoint_dir=ck_part,
+                    resume=True, **kw)
+
+    def load_all(root):
+        out = []
+        for g in CrawlCheckpoint(root).complete_generations():
+            d = os.path.join(root, "gen=%05d" % g, "records")
+            if os.path.isdir(d):
+                for f in sorted(os.listdir(d)):
+                    out.extend(pq.read_table(os.path.join(d, f)).to_pylist())
+        return sorted(out, key=lambda r: (r["generation"], r["host"], r["seq"]))
+
+    a, b = load_all(ck_full), load_all(ck_part)
+    assert len(a) == len(b) and a == b
+    assert all(g > 3 for g, _, _ in resumed["visit_log"])
+
+
+def test_fragment_corpus_equivalent(corpus, tmp_path):
+    """Fragment-backed corpus (on-disk parquet buckets, no driver-held
+    table, no ray.put) must produce the identical crawl."""
+    graph = WebGraph(N)
+    kw = dict(n_seeds=6, max_generations=10, num_seen_shards=2,
+              num_host_shards=2, clock_iso=CLOCK, seen_fp_bits=32,
+              track_visits=True)
+    bcast = crawl(corpus, graph=graph, **kw)
+    frag = crawl(corpus, graph=graph,
+                 corpus_fragments_dir=str(tmp_path / "frags"),
+                 corpus_partitions=5, **kw)
+    assert sorted(bcast["visit_log"]) == sorted(frag["visit_log"])
+    assert bcast["admitted"] == frag["admitted"]
+    assert bcast["seen"] == frag["seen"]
+
+
+def test_fragment_lookup_matches_dict(corpus, tmp_path, ray_session):
+    import ray.data as rd
+
+    from warcit_ray.pipelines.crawl import (
+        _resolve_corpus,
+        corpus_dict,
+        write_corpus_fragments,
+    )
+
+    full = corpus_dict(corpus)
+    # table write path
+    ref = write_corpus_fragments(corpus, str(tmp_path / "t"), 7)
+    lookup = _resolve_corpus(ref)
+    for key in list(full)[:40]:
+        assert lookup.get(key, None) == full[key]
+    assert lookup.get("img-nonexistent", ("", "", "")) == ("", "", "")
+    # Dataset write path (distributed bucket write) -> same layout
+    ref2 = write_corpus_fragments(rd.from_arrow(corpus), str(tmp_path / "d"), 7)
+    lookup2 = _resolve_corpus(ref2)
+    for key in list(full)[:40]:
+        assert lookup2.get(key, None) == full[key]
+    # idempotent reuse of an existing layout
+    ref3 = write_corpus_fragments(corpus, str(tmp_path / "t"), 7)
+    assert ref3 == ref
+    with pytest.raises(ValueError):
+        write_corpus_fragments(corpus, str(tmp_path / "t"), 9)
+
+
+def test_corpus_cache_lru():
+    """ADVICE r2: eviction removes only the LRU entry, never the whole
+    cache — a recently-touched (e.g. broadcast) entry survives misses."""
+    from warcit_ray.pipelines import crawl as c
+
+    saved, saved_max = dict(c._CORPUS_CACHE), c._CORPUS_CACHE_MAX
+    try:
+        c._CORPUS_CACHE.clear()
+        c._CORPUS_CACHE_MAX = 3
+        builds = []
+        for k in "abc":
+            c._cache_get(k, lambda k=k: builds.append(k) or k.upper())
+        assert c._cache_get("a", lambda: "REBUILT") == "A"  # hit -> MRU
+        c._cache_get("d", lambda: "D")  # evicts only LRU ('b')
+        assert set(c._CORPUS_CACHE) == {"c", "a", "d"}
+        assert c._cache_get("a", lambda: "REBUILT") == "A"
+        assert c._cache_get("b", lambda: "B2") == "B2"  # b was evicted
+    finally:
+        c._CORPUS_CACHE.clear()
+        c._CORPUS_CACHE.update(saved)
+        c._CORPUS_CACHE_MAX = saved_max
+
+
 def test_ref_tier_promotion_to_dataset_equivalent(corpus):
     """A frontier bigger than task_frontier promotes the ref tier to
     the streaming Dataset tier via from_arrow_refs (no driver transit);

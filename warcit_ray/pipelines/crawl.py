@@ -143,11 +143,9 @@ def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
                                        return_inverse=True)
     uniq_hashes = surt_hash64_batch([surt(u) for u in uniq_urls])
     hashes = uniq_hashes[url_inverse]
-    uniq, inverse = np.unique(hashes, return_inverse=True)
-    first_of = np.full(len(uniq), -1, dtype=np.int64)
-    for pos, inv in enumerate(inverse):
-        if first_of[inv] < 0:
-            first_of[inv] = pos
+    # first_of[j] = index in `hashes` of the FIRST occurrence of uniq[j]
+    uniq, first_of, inverse = np.unique(hashes, return_index=True,
+                                        return_inverse=True)
     shard = (uniq % np.uint64(n)).astype(np.int64)
     refs, idxs = [], []
     for s in range(n):
@@ -158,11 +156,10 @@ def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
     added_uniq = np.zeros(len(uniq), dtype=bool)
     for ref, sel in zip(ray.get(refs), idxs):
         added_uniq[sel] = ref
-    keep = np.zeros(len(urls), dtype=bool)
     # a row survives iff its hash is new AND it is the first
-    # occurrence of that hash in this batch
-    for i, inv in enumerate(inverse):
-        keep[i] = added_uniq[inv] and (first_of[inv] == i)
+    # occurrence of that hash in this batch (pure mask arithmetic —
+    # this stage dominates frontier wall time, no per-row Python)
+    keep = added_uniq[inverse] & (np.arange(len(hashes)) == first_of[inverse])
     return batch.filter(pa.array(keep))
 
 
@@ -176,41 +173,45 @@ def offer_batch(batch: pa.Table, host_actors, top_per_host: int | None = None) -
     dominates a batch then costs O(top_per_host) instead of O(batch)."""
     import ray
 
-    urls = batch.column("url").to_pylist()
-    if not urls:
+    if batch.num_rows == 0:
         return pa.table({"offered": pa.array([], type=pa.int64())})
     n = len(host_actors)
-    hosts = [surt_host(u) for u in urls]
-    pris = batch.column("priority").to_pylist()
-    seqs = batch.column("seq").to_pylist()
-    keys = batch.column("payload_key").to_pylist()
-    depths = batch.column("depth").to_pylist()
-    if top_per_host is not None:
-        by_host: dict[str, list[int]] = {}
-        for i, h in enumerate(hosts):
-            by_host.setdefault(h, []).append(i)
-        keep_rows: list[int] = []
-        for h, rows in by_host.items():
-            if len(rows) > top_per_host:
-                rows = sorted(rows, key=lambda i: (pris[i], seqs[i], urls[i]))[:top_per_host]
-            keep_rows.extend(rows)
-        keep_rows.sort()
-        urls = [urls[i] for i in keep_rows]
-        hosts = [hosts[i] for i in keep_rows]
-        pris = [pris[i] for i in keep_rows]
-        seqs = [seqs[i] for i in keep_rows]
-        keys = [keys[i] for i in keep_rows]
-        depths = [depths[i] for i in keep_rows]
-    by_shard: dict[int, list[int]] = {}
-    for i, h in enumerate(hosts):
-        by_shard.setdefault(host_shard_of(h, n), []).append(i)
+    urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+    hosts = np.asarray([surt_host(u) for u in urls], dtype=object)
+    pris = batch.column("priority").combine_chunks().to_numpy()
+    seqs = batch.column("seq").combine_chunks().to_numpy()
+    keys = np.asarray(batch.column("payload_key").to_pylist(), dtype=object)
+    depths = batch.column("depth").combine_chunks().to_numpy()
+    # hosts repeat heavily in link batches: hash each DISTINCT host once,
+    # then all grouping is integer-code arithmetic (no per-row dicts)
+    uniq_hosts, host_codes = np.unique(hosts, return_inverse=True)
+    if top_per_host is not None and batch.num_rows > top_per_host:
+        # per-host rank under the heap order (priority, seq, url);
+        # lexsort keys are last-key-primary
+        order = np.lexsort((urls, seqs, pris, host_codes))
+        gc = host_codes[order]
+        grp_first = np.concatenate(([0], 1 + np.nonzero(gc[1:] != gc[:-1])[0]))
+        counts = np.diff(np.concatenate((grp_first, [len(gc)])))
+        rank = np.arange(len(gc)) - np.repeat(grp_first, counts)
+        keep_idx = np.sort(order[rank < top_per_host])
+        urls, hosts, keys = urls[keep_idx], hosts[keep_idx], keys[keep_idx]
+        pris, seqs, depths = pris[keep_idx], seqs[keep_idx], depths[keep_idx]
+        host_codes = host_codes[keep_idx]
+    shard_of_host = np.fromiter(
+        (host_shard_of(h, n) for h in uniq_hosts),
+        dtype=np.int64, count=len(uniq_hosts))
+    shard_codes = shard_of_host[host_codes]
+    order = np.argsort(shard_codes, kind="stable")  # rows stay in batch order per shard
+    sc = shard_codes[order]
+    bounds = np.concatenate(([0], 1 + np.nonzero(sc[1:] != sc[:-1])[0], [len(sc)]))
     refs = []
-    for s, rows in by_shard.items():
+    for bi in range(len(bounds) - 1):
+        rows = order[bounds[bi]: bounds[bi + 1]]
         refs.append(
-            host_actors[s].offer.remote(
-                [hosts[i] for i in rows], [urls[i] for i in rows],
-                [pris[i] for i in rows], [seqs[i] for i in rows],
-                [keys[i] for i in rows], [depths[i] for i in rows],
+            host_actors[int(sc[bounds[bi]])].offer.remote(
+                hosts[rows].tolist(), urls[rows].tolist(),
+                pris[rows].tolist(), seqs[rows].tolist(),
+                keys[rows].tolist(), depths[rows].tolist(),
             )
         )
     offered = sum(ray.get(refs))
@@ -302,12 +303,17 @@ _CORPUS_CACHE_MAX = 64
 
 
 def _cache_get(key: str, build):
-    got = _CORPUS_CACHE.get(key)
+    """LRU: a hit moves the entry to MRU position; a miss evicts only
+    the single least-recently-used entry (never the whole cache — a
+    worker touching >_CORPUS_CACHE_MAX buckets would otherwise thrash
+    and rebuild every bucket dict per fetch task, including evicting
+    the broadcast entry)."""
+    got = _CORPUS_CACHE.pop(key, None)
     if got is None:
-        if len(_CORPUS_CACHE) >= _CORPUS_CACHE_MAX:
-            _CORPUS_CACHE.clear()
+        while len(_CORPUS_CACHE) >= _CORPUS_CACHE_MAX:
+            _CORPUS_CACHE.pop(next(iter(_CORPUS_CACHE)))
         got = build()
-        _CORPUS_CACHE[key] = got
+    _CORPUS_CACHE[key] = got
     return got
 
 
@@ -357,10 +363,96 @@ class _BucketLookup:
         return _cache_get("part:" + ref.hex(), build).get(key, default)
 
 
+def write_corpus_fragments(corpus, out_dir: str, num_buckets: int) -> dict:
+    """Pre-bucket the corpus to on-disk Parquet fragments — the true
+    100 TB corpus path: the driver never holds the corpus, fetch tasks
+    ``read_table`` only the bucket files their admitted keys hash to
+    (worker-LRU-cached). Accepts a ``ray.data.Dataset`` (scale path:
+    one groupby shuffle writes each bucket from a worker) or a
+    ``pa.Table`` (test/small path: buckets written from the caller).
+    Idempotent: an existing layout with a matching ``_corpus.json``
+    manifest is reused as-is. At multi-node scale ``out_dir`` is shared
+    storage (the same assumption as the checkpoint dir)."""
+    import json
+
+    out_dir = os.path.abspath(out_dir)
+    meta_path = os.path.join(out_dir, "_corpus.json")
+    meta = {"num_buckets": int(num_buckets)}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            old = json.load(fh)
+        if old != meta:
+            raise ValueError(
+                "existing corpus fragment layout %r != requested %r" % (old, meta))
+        return {"kind": "frags", "dir": out_dir, "P": num_buckets}
+    os.makedirs(out_dir, exist_ok=True)
+
+    def bucket_path(b: int) -> str:
+        return os.path.join(out_dir, "bucket-%05d.parquet" % b)
+
+    if isinstance(corpus, pa.Table):
+        keys = corpus.column("image_id").to_pylist()
+        buckets = np.asarray([corpus_bucket_of(k, num_buckets) for k in keys])
+        sub = corpus.select(["image_id", "bytes", "fmt", "caption"])
+        for b in range(num_buckets):
+            idx = np.nonzero(buckets == b)[0]
+            if len(idx):
+                pq.write_table(sub.take(idx), bucket_path(b))
+    else:  # ray.data.Dataset
+        def tag(t: pa.Table) -> pa.Table:
+            t = t.select(["image_id", "bytes", "fmt", "caption"])
+            ids = t.column("image_id").to_pylist()
+            bk = np.asarray([corpus_bucket_of(k, num_buckets) for k in ids],
+                            dtype=np.int64)
+            return t.append_column("__bucket", pa.array(bk))
+
+        def write_bucket(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"bucket": pa.array([], type=pa.int64()),
+                                 "rows": pa.array([], type=pa.int64())})
+            b = int(g.column("__bucket")[0].as_py())
+            path = bucket_path(b)
+            tmp = path + ".tmp"
+            pq.write_table(g.drop_columns(["__bucket"]).sort_by("image_id"), tmp)
+            os.replace(tmp, path)
+            return pa.table({"bucket": [b], "rows": [g.num_rows]})
+
+        (corpus.map_batches(tag, batch_format="pyarrow")
+         .groupby("__bucket")
+         .map_groups(write_bucket, batch_format="pyarrow")
+         .materialize())
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return {"kind": "frags", "dir": out_dir, "P": num_buckets}
+
+
+class _FragmentLookup:
+    """dict-like .get over on-disk corpus fragments: a bucket's parquet
+    file resolves and builds its key->row dict once per worker process
+    (LRU-cached). No object-store residency, no driver involvement."""
+
+    def __init__(self, frag_dir: str, num_buckets: int):
+        self.dir = frag_dir
+        self.P = num_buckets
+
+    def get(self, key: str, default):
+        b = corpus_bucket_of(key, self.P)
+        path = os.path.join(self.dir, "bucket-%05d.parquet" % b)
+
+        def build():
+            if not os.path.exists(path):
+                return {}
+            return corpus_dict(pq.read_table(path))
+
+        return _cache_get("frag:" + path, build).get(key, default)
+
+
 def _resolve_corpus(corpus_ref):
     if isinstance(corpus_ref, dict):
         if corpus_ref.get("kind") == "parts":
             return _BucketLookup(corpus_ref["refs"], corpus_ref["P"])
+        if corpus_ref.get("kind") == "frags":
+            return _FragmentLookup(corpus_ref["dir"], corpus_ref["P"])
         return corpus_ref
     import ray
 
@@ -489,8 +581,49 @@ class CrawlCheckpoint:
                 out.append(int(name.split("=")[1]))
         return out
 
+    def _write_frontier(self, d: str, frontier) -> None:
+        """Persist the next-generation frontier DISTRIBUTED — the
+        frontier never transits the driver on the checkpoint path
+        (checkpointing at the largest generations is exactly when that
+        would hurt). Carriers: pa.Table (small tier — written directly),
+        list[(ObjectRef, rows)] (task tier — one remote write task per
+        ref, each dumps its own part straight from the object store),
+        Dataset (backpressure tier — ``write_parquet``, blocks written
+        by workers). Atomic via tmp-dir + rename; at multi-node scale
+        the checkpoint root is shared storage."""
+        import shutil
+
+        fdir = os.path.join(d, "next_frontier")
+        tmp = fdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        if frontier is None:
+            return
+        if isinstance(frontier, pa.Table):
+            if frontier.num_rows == 0:
+                return
+            os.makedirs(tmp, exist_ok=True)
+            pq.write_table(frontier, os.path.join(tmp, "part-000000.parquet"))
+        elif isinstance(frontier, list):
+            import ray
+
+            os.makedirs(tmp, exist_ok=True)
+
+            def _dump(table: pa.Table, path: str) -> int:
+                pq.write_table(table, path)
+                return table.num_rows
+
+            dump = ray.remote(num_cpus=0.5)(_dump)
+            ray.get([
+                dump.remote(r, os.path.join(tmp, "part-%06d.parquet" % i))
+                for i, (r, c) in enumerate(frontier) if c
+            ])
+        else:  # materialized Dataset
+            frontier.write_parquet(tmp)
+        shutil.rmtree(fdir, ignore_errors=True)
+        os.rename(tmp, fdir)
+
     def write_generation(self, g: int, *, records_ds, admitted: pa.Table,
-                         next_frontier: pa.Table | None,
+                         next_frontier,
                          seen_deltas: list[np.ndarray], host_states: list[dict],
                          stats: dict) -> None:
         d = self.gen_dir(g)
@@ -513,10 +646,9 @@ class CrawlCheckpoint:
             shutil.rmtree(rec_dir, ignore_errors=True)
             os.rename(tmp_dir, rec_dir)
         pq.write_table(admitted, os.path.join(d, "admitted.parquet"))
-        if next_frontier is not None and next_frontier.num_rows:
-            # links discovered this generation but not yet offered — they
-            # are NOT in the host-shard snapshots, so resume needs them
-            pq.write_table(next_frontier, os.path.join(d, "next_frontier.parquet"))
+        # links discovered this generation but not yet offered — they
+        # are NOT in the host-shard snapshots, so resume needs them
+        self._write_frontier(d, next_frontier)
         for i, delta in enumerate(seen_deltas):
             pq.write_table(
                 pa.table({"hash": pa.array(delta, type=pa.uint64())}),
@@ -548,9 +680,33 @@ class CrawlCheckpoint:
         with open(os.path.join(self.gen_dir(g), "host_state.json")) as fh:
             return json.load(fh)
 
-    def load_next_frontier(self, g: int) -> pa.Table | None:
-        p = os.path.join(self.gen_dir(g), "next_frontier.parquet")
-        return pq.read_table(p) if os.path.exists(p) else None
+    def load_next_frontier(self, g: int):
+        """Resume carrier: the frontier parts load via remote read tasks
+        into the OBJECT STORE — the driver gets back (ref, rows) pairs
+        (row counts from the parquet footers, no data read driver-side),
+        the same task-tier carrier crawl() feeds straight into probe
+        tasks. Single-file legacy checkpoints load as a plain table."""
+        d = self.gen_dir(g)
+        legacy = os.path.join(d, "next_frontier.parquet")
+        if os.path.exists(legacy):
+            return pq.read_table(legacy)
+        fdir = os.path.join(d, "next_frontier")
+        if not os.path.isdir(fdir):
+            return None
+        import glob
+
+        import ray
+
+        def _load(path: str) -> pa.Table:
+            return pq.read_table(path)
+
+        load = ray.remote(num_cpus=0.5)(_load)
+        out = []
+        for p in sorted(glob.glob(os.path.join(fdir, "*.parquet"))):
+            rows = pq.ParquetFile(p).metadata.num_rows
+            if rows:
+                out.append((load.remote(p), rows))
+        return out or None
 
 
 def crawl(
@@ -580,6 +736,7 @@ def crawl(
     seen_fp_bits: int = 16,
     corpus_partitions: int | None = None,
     corpus_broadcast_threshold: int = 256 << 20,
+    corpus_fragments_dir: str | None = None,
     task_frontier_threshold: int | None = None,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
@@ -612,7 +769,15 @@ def crawl(
         # genuinely small-side; above the threshold (or when forced),
         # hash-partition on image_id so fetch tasks resolve only the
         # buckets they touch (see make_partitioned_corpus)
-        if corpus_partitions or corpus_table.nbytes > corpus_broadcast_threshold:
+        if corpus_fragments_dir is not None:
+            # fragment mode (the 100 TB path): corpus pre-bucketed to
+            # on-disk parquet; the driver never ray.puts it and fetch
+            # tasks read only the buckets they touch
+            num_parts = corpus_partitions or max(
+                8, int(corpus_table.nbytes // (64 << 20)))
+            corpus_ref = write_corpus_fragments(
+                corpus_table, corpus_fragments_dir, num_parts)
+        elif corpus_partitions or corpus_table.nbytes > corpus_broadcast_threshold:
             num_parts = corpus_partitions or max(
                 8, int(corpus_table.nbytes // (64 << 20)))
             corpus_ref = make_partitioned_corpus(corpus_table, num_parts)
@@ -678,6 +843,7 @@ def crawl(
         else max(small_frontier, 4_000_000 // max(1, batch_size) * batch_size)
     fetch_explode_task = ray.remote(num_cpus=1, num_returns=3)(fetch_and_explode)
     probe_offer_task = ray.remote(num_cpus=1)(probe_and_offer_batch)
+    count_rows_task = ray.remote(num_cpus=0.25)(lambda t: t.num_rows)
 
     def frontier_rows(f) -> int:
         # frontier carriers: pa.Table (seeds/resume/small),
@@ -692,21 +858,25 @@ def crawl(
             return f.num_rows
         return f.count()
 
-    def frontier_table(f) -> pa.Table | None:
-        if f is None or isinstance(f, pa.Table):
-            return f
-        if isinstance(f, list):
-            tables = [t for t in ray.get([r for r, _ in f]) if t.num_rows]
-            return pa.concat_tables(tables) if tables else None
-        tables = [t for t in ray.get(f.to_arrow_refs()) if t.num_rows]
-        return pa.concat_tables(tables) if tables else None
+    def dataset_to_refs(ds) -> list | None:
+        # demote Dataset tier -> ref tier WITHOUT driver transit: block
+        # refs + footer row counts from the ref bundles (no ray.get)
+        out = []
+        for bundle in ds.iter_internal_ref_bundles():
+            for block_ref, meta in bundle.blocks:
+                rows = meta.num_rows
+                if rows is None:  # metadata gap: count remotely, keep the ref
+                    rows = ray.get(count_rows_task.remote(block_ref))
+                if rows:
+                    out.append((block_ref, rows))
+        return out or None
 
     for g in range(start_gen, max_generations):
         # --- 1. dedup + offer the current frontier (if any) -------------
         _t0 = _now()
         n_front = frontier_rows(frontier)
         if isinstance(frontier, rd.Dataset) and n_front <= task_frontier:
-            frontier = frontier_table(frontier)  # small again: leave Dataset tier
+            frontier = dataset_to_refs(frontier)  # small again: leave Dataset tier
         elif isinstance(frontier, list) and n_front > task_frontier:
             # promote ref tier -> Dataset tier without driver transit
             frontier = rd.from_arrow_refs([r for r, _ in frontier])
@@ -848,7 +1018,8 @@ def crawl(
                 g,
                 records_ds=records.drop_columns(["links"]) if records is not None else None,
                 admitted=admitted,
-                next_frontier=frontier_table(next_frontier),
+                next_frontier=next_frontier,  # carrier passed as-is:
+                # ref/Dataset tiers write their parts distributed
                 seen_deltas=deltas,
                 host_states=states,
                 stats={"admitted": n_admitted},
