@@ -135,19 +135,4 @@ def test_charset_cchardet_goldens(iana_dir):
         in ("windows-1252", "iso-8859-1", "windows-1258")
 
 
-def test_reader_shim(tmp_path, ray_session):
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from warcit_ray.sources.readers import read_table, table_path
-
-    pq.write_table(pa.table({"a": [1, 2, 3]}), tmp_path / "t.parquet")
-    assert table_path(str(tmp_path), "t") == ("parquet", str(tmp_path / "t.parquet"))
-    ds = read_table(str(tmp_path), "t", columns=["a"])
-    assert ds.count() == 3
-    # a .lance dataset dir takes precedence and (pylance absent) raises
-    # the clear shim error
-    (tmp_path / "t.lance").mkdir()
-    assert table_path(str(tmp_path), "t")[0] == "lance"
-    with pytest.raises(RuntimeError, match="lance"):
-        read_table(str(tmp_path), "t")
+# reader-shim tests moved to tests/test_readers.py

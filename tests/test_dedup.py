@@ -140,6 +140,27 @@ def test_minhash_forced_large_path_same_result(ray_session):
     pd.testing.assert_frame_equal(p1, p2)
 
 
+def test_simhash_batched_matches_per_doc():
+    """The vectorized batch path (flat token array + reduceat segment
+    votes + sign-bit pack) must be byte-identical to the single-doc
+    construction, including empty docs, slab boundaries and the
+    sign-bit (bit 63) wrap."""
+    import pyarrow as pa
+
+    from warcit_ray.stages.dedup import SimHasher
+
+    texts = ["", "one", "a b c d", " ".join("t%d" % i for i in range(500)),
+             "", "repeat repeat repeat", "Mixed CASE Tokens x Y z"]
+    h = SimHasher()
+    per_doc = [h.simhash(t) for t in texts]
+    signed = [x - (1 << 64) if x >= (1 << 63) else x for x in per_doc]
+    small_slab = SimHasher()
+    small_slab._TOK_SLAB = 16  # force multiple reduction slabs
+    for hasher in (SimHasher(), small_slab):
+        out = hasher(pa.table({"text": texts}))
+        assert out.column("simhash").to_pylist() == signed
+
+
 def test_simhash_hamming_verified(ray_session):
     rows = [{"doc_id": i,
              "text": " ".join("tok%d" % ((i * 13 + j) % 400) for j in range(40))}

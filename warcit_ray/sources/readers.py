@@ -10,7 +10,8 @@ pylance is not installed in this sandbox, so the lance branch is
 import-guarded: selecting a lance table without the dependency raises
 a clear RuntimeError rather than an obscure attribute error (the
 parquet path is exercised everywhere; the branch selection is
-unit-tested in tests/test_readers.py).
+unit-tested in tests/test_readers.py — sniffing, pruned parquet
+reads, and the lance strict-stub).
 """
 
 from __future__ import annotations

@@ -532,22 +532,62 @@ class SimHasher:
             self._tok_cache[tok] = h
         return h
 
+    # cap the (tokens, 64) vote slab at ~16 MB int32 per reduction pass
+    _TOK_SLAB = 1 << 16
+
     def simhash(self, text: str) -> int:
         toks = text.lower().split()
         if not toks:
             return 0
         th = np.array([self._tok_hash(t) for t in toks], dtype=np.uint64)
-        bits = ((th[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (2 * bits - 1).sum(axis=0)
-        out = 0
-        for i in np.nonzero(acc > 0)[0]:
-            out |= 1 << int(i)
-        return out
+        acc = self._vote(th, np.array([0], dtype=np.int64))[0]
+        return int(self._pack(acc[None, :]).view(np.uint64)[0])
+
+    def _vote(self, th: np.ndarray, starts: np.ndarray) -> np.ndarray:
+        """Segment-summed bit votes: (docs, 64) int64 from the flat
+        token-hash array; one reduceat per <=_TOK_SLAB-token slab."""
+        bits = ((th[:, None] >> self._SHIFTS[None, :]) & np.uint64(1)).astype(np.int32)
+        votes = 2 * bits - 1
+        return np.add.reduceat(votes, starts, axis=0).astype(np.int64)
+
+    @staticmethod
+    def _pack(acc: np.ndarray) -> np.ndarray:
+        """(docs, 64) vote sums -> int64 signatures (sign-bit pack,
+        two's-complement view — identical values to the per-bit
+        ``out |= 1 << i`` construction)."""
+        pos = (acc > 0).astype(np.uint64)
+        sig = (pos << SimHasher._SHIFTS[None, :]).sum(axis=1, dtype=np.uint64)
+        return sig.view(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash(t or "") for t in batch.column("text").to_pylist()]
-        signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
-        return batch.append_column("simhash", pa.array(signed, type=pa.int64()))
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        tok_lists = [t.lower().split() if t else [] for t in texts]
+        counts = np.fromiter((len(tl) for tl in tok_lists), dtype=np.int64,
+                             count=n)
+        total = int(counts.sum())
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if total:
+            th = np.fromiter(
+                (self._tok_hash(t) for tl in tok_lists for t in tl),
+                dtype=np.uint64, count=total)
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            nz = np.nonzero(counts)[0]
+            # slab over docs so the (tokens, 64) vote matrix stays small;
+            # empty docs contribute no rows, so reduceat over the
+            # nonzero docs' starts segments exactly per doc
+            lo = 0
+            while lo < len(nz):
+                hi = lo + 1
+                while hi < len(nz) and ends[nz[hi - 1]] - starts[nz[lo]] < self._TOK_SLAB:
+                    hi += 1
+                sel = nz[lo:hi]
+                base = starts[sel[0]]
+                acc[sel] = self._vote(th[base: ends[sel[-1]]],
+                                      starts[sel] - base)
+                lo = hi
+        return batch.append_column("simhash", pa.array(self._pack(acc)))
 
 
 def hamming64(a: int, b: int) -> int:

@@ -23,7 +23,10 @@ import pyarrow as pa
 
 def _with_bucket(ds, key: str, num_buckets: int, side: int):
     def f(t: pa.Table) -> pa.Table:
-        k = np.asarray(t.column(key).to_pylist(), dtype=np.int64)
+        # zero-copy for null-free int keys (to_pylist would round-trip
+        # every key through Python objects on every batch of every join)
+        k = t.column(key).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         # splitmix-style mix so sequential keys spread across buckets
         h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
         bucket = (h % np.uint64(num_buckets)).astype(np.int64)

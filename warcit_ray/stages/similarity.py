@@ -42,6 +42,22 @@ def _resolve(ref):
 
 
 def _as_matrix(col, dtype=np.float32) -> np.ndarray:
+    """Embedding column -> (n, d) matrix. Zero-copy flatten+reshape for
+    fixed-size-list columns and for plain list columns whose rows are
+    uniform-width (the common Arrow layouts); the to_pylist fallback
+    only runs for ragged input."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t) and col.null_count == 0:
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(col), t.list_size).astype(dtype, copy=False)
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)) and col.null_count == 0:
+        offsets = col.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), int(widths[0])).astype(dtype, copy=False)
     return np.asarray(col.to_pylist(), dtype=dtype)
 
 
@@ -55,7 +71,8 @@ def _batch_topk(batch: pa.Table, q_ref, k: int, id_col: str, vec_col: str,
                 dtype) -> pa.Table:
     """Batch-local exact top-k vs the broadcast (pre-normalized) queries."""
     q = _resolve(q_ref)
-    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    ids = batch.column(id_col).combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
     if len(ids) == 0:
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),
