@@ -357,3 +357,45 @@ def test_warc_shards_deterministic_resume(iana_dir, tmp_path):
     # mismatched layout parameters fail loudly instead of mis-skipping
     with pytest.raises(ValueError):
         write_warc_shards(ds, out_dir, mode="ab", rows_per_shard=16)
+
+
+def _mini_records(seqs, tag="v1"):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table({
+        "seq": pa.array(list(seqs), type=pa.int64()),
+        "record_type": ["resource"] * len(seqs),
+        "record_id": ["<urn:uuid:%05d>" % s for s in seqs],
+        "warc_date": ["2026-01-01T00:00:00Z"] * len(seqs),
+        "target_uri": ["http://x.example/%d" % s for s in seqs],
+        "payload": [("%s-%d" % (tag, s)).encode() for s in seqs],
+    })
+    return rd.from_arrow(t)
+
+
+def test_warc_shards_append_into_partial_part(tmp_path, ray_session):
+    """ADVICE r2 (medium): 'ab' with NEW rows landing in an existing
+    part's seq range must append them (prefix digest-verified), not
+    silently drop them; mutated already-written ranges must raise."""
+    from warcit_ray.sinks.warc_sink import read_warc_dir
+
+    out_dir = str(tmp_path / "append")
+    # first run: seqs 0..9 -> part0 holds 0-7, part1 holds 8,9 (partial)
+    write_warc_shards(_mini_records(range(10)), out_dir, rows_per_shard=8)
+    assert len(read_warc_dir(out_dir)) == 10
+    # append run ships the FULL dataset 0..14: 10-15 range rows 10..14
+    # land partly in part1's range (10..15) — part1 must gain them
+    write_warc_shards(_mini_records(range(15)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    recs = read_warc_dir(out_dir)
+    assert [r["headers"]["WARC-Target-URI"] for r in recs] == \
+        ["http://x.example/%d" % i for i in range(15)]
+    # identical rerun: no-op, still 15
+    write_warc_shards(_mini_records(range(15)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    assert len(read_warc_dir(out_dir)) == 15
+    # mutating an already-written range raises instead of keeping stale bytes
+    with pytest.raises(ValueError, match="refusing to append"):
+        write_warc_shards(_mini_records(range(15), tag="CHANGED"), out_dir,
+                          mode="ab", rows_per_shard=8)

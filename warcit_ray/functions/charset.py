@@ -15,14 +15,30 @@ Two detectors:
   single-byte windows-125x family guesses, reproducing the reference's
   golden expectations on its own corpus (test_warcit.py:97-106:
   ``windows-1258`` for www.iana.org/index.html, ``utf-8`` for
-  print.css). uchardet's SBCS group prober outranks its UTF-8 prober
-  when multibyte evidence is very sparse in a small document; the
-  calibrated rule here is: valid UTF-8 whose non-ascii content is <= 2
-  sequences of cp125x-style punctuation in a document under 32 KB is
-  reported as the single-byte family guess, larger or richer UTF-8 is
-  reported as UTF-8. Byte streams that are NOT valid UTF-8 are scored
-  against the windows-125x / latin-1 codepages by decoded-character
-  plausibility (letter/space/punct ratio).
+  print.css). The decision is a confidence contest, not a whitelist:
+
+  * UTF-8 confidence uses uchardet's published one-char-probability
+    formula — ``1 - 0.99 * 0.5**n`` for ``n < 6`` multibyte chars,
+    0.99 beyond — so rich UTF-8 always wins.
+  * Each SBCS candidate (windows-1252/1258, latin-1) is scored by a
+    micro sequence model over the DECODED non-ascii characters: a
+    decoded letter sitting inside a word (adjacent to another letter,
+    e.g. ``Internet’s`` -> ``Internetâ€™s`` where ``â`` is
+    letter-adjacent) is positive word evidence for the single-byte
+    reading; decoded symbols/punctuation or letters floating between
+    non-letters (print.css's `` ▶`` -> `` â–¶``) are not. Unmappable
+    or control decodes (latin-1's C1 block) discount the candidate.
+  * windows-1258 gets a small tie-break bonus when the positive
+    letter evidence lies in its Vietnamese letter repertoire —
+    uchardet's Vietnamese model is exactly why the reference golden
+    says windows-1258 rather than windows-1252.
+
+  Net behavior: one in-word curly quote in otherwise-ASCII text
+  (the iana index.html shape) reads as windows-1258; the same byte
+  with no word adjacency, or >=2-3 multibyte chars, reads as UTF-8.
+  Byte streams that are NOT valid UTF-8 are scored against the
+  windows-125x / latin-1 codepages by decoded-character plausibility
+  (letter/space/punct ratio).
 
 ``tika`` is accepted as a mode token for CLI parity but raises an
 honest NotImplementedError (no Tika server in this environment —
@@ -31,14 +47,24 @@ same strict-stub pattern as stages/multimodal.py).
 
 from __future__ import annotations
 
+import re
 import unicodedata
 
-# characters whose UTF-8 encodings commonly appear as the ONLY
-# non-ascii content of mostly-ascii web text, and which all map into
-# the windows-125x codepages' 0x80-0x9F punctuation block
-_CP125X_PUNCT = set("‘’“”–—… ®©")
-
 _SBCS_CANDIDATES = ("windows-1252", "windows-1258", "iso-8859-1")
+
+# C-speed scan for decoded non-ascii characters (the only ones whose
+# interpretation differs between the candidate readings)
+_NON_ASCII_RX = re.compile(r"[^\x00-\x7f]")
+
+# windows-1258 is the Vietnamese codepage: positive letter evidence in
+# its repertoire is what makes uchardet's SBCS group answer 1258
+_VIET_LETTERS = set(
+    "\u00e2\u00ea\u00f4\u0103\u01a1\u01b0\u0111\u00e0\u00e8\u00ec\u00f2\u00f9"
+    "\u00fd\u00e3\u00f5\u0129\u0169\u1ef3"
+    "\u00c2\u00ca\u00d4\u0102\u01a0\u01af\u0110\u00c0\u00c8\u00cc\u00d2\u00d9"
+    "\u00dd\u00c3\u00d5\u0128\u0168\u1ef2"
+)
+
 
 
 def detect_charset(payload: bytes) -> str:
@@ -93,14 +119,55 @@ def detect_charset_cchardet(payload: bytes) -> str:
             if s > best_score + 1e-9:
                 best, best_score = enc, s
         return best
-    non_ascii = [ch for ch in text if ord(ch) >= 0x80]
-    # sparse multibyte punctuation in a small document: uchardet's SBCS
-    # prober wins over its UTF-8 prober (reference golden: iana
-    # index.html -> windows-1258)
-    if (len(payload) < 32768 and 0 < len(non_ascii) <= 2
-            and all(ch in _CP125X_PUNCT for ch in non_ascii)):
-        return "windows-1258"
-    return "UTF-8"
+    # valid UTF-8: confidence contest vs the SBCS readings
+    n_mb = len(_NON_ASCII_RX.findall(text))
+    utf8_conf = 0.99 if n_mb >= 6 else 1.0 - 0.99 * (0.5 ** n_mb)
+    best, best_conf = "UTF-8", utf8_conf
+    for enc in _SBCS_CANDIDATES:
+        conf = _sbcs_confidence(payload, enc)
+        if conf > best_conf + 1e-9:
+            best, best_conf = enc, conf
+    return best
+
+
+def _sbcs_confidence(payload: bytes, encoding: str) -> float:
+    """Single-byte-reading confidence from a micro sequence model over
+    the DECODED non-ascii characters (module docstring): in-word
+    letters are positive evidence, floating symbols are not, control /
+    unmappable decodes discount. Only the non-ascii positions are
+    scanned (regex at C speed) — the ASCII bulk reads identically
+    under every candidate and carries no signal between them."""
+    try:
+        text = payload.decode(encoding)
+    except (UnicodeDecodeError, LookupError):
+        return -1.0
+    pos = neg = bad = viet = 0
+    n = len(text)
+    for m in _NON_ASCII_RX.finditer(text):
+        i = m.start()
+        ch = m.group()
+        cat = unicodedata.category(ch)
+        if cat[0] == "C":
+            bad += 1
+        elif cat[0] == "L" and (
+            (i > 0 and text[i - 1].isalpha())
+            or (i + 1 < n and text[i + 1].isalpha())
+        ):
+            pos += 1
+            if ch in _VIET_LETTERS:
+                viet += 1
+        else:
+            neg += 1
+    total = pos + neg + bad
+    if total == 0:
+        return 0.0
+    plaus = 1.0 - bad / total
+    if pos == 0:
+        return 0.3 * plaus  # symbols only: weak single-byte evidence
+    conf = plaus * (0.6 + 0.35 * pos / total)
+    if viet and encoding == "windows-1258":
+        conf += 0.02  # Vietnamese-repertoire tie-break (uchardet parity)
+    return conf
 
 
 def charset_suffix(mime: str, mode: str | None, payload: bytes | None,

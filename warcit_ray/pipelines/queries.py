@@ -432,15 +432,17 @@ def mapfile_remap(sf_dir: str) -> pd.DataFrame:
 def charset_suffixes(sf_dir: str) -> pd.DataFrame:
     """M5 charset chain in cchardet mode (warcit.py:661-716) over four
     deterministic payload classes: ascii (dropped), rich UTF-8,
-    latin-1 single-byte, sparse curly-quote (the reference's
-    windows-1258 golden shape)."""
+    latin-1 single-byte, and one IN-WORD curly apostrophe (the
+    reference's windows-1258 golden shape — iana index.html's
+    ``Internet’s``, whose decoded ``â`` is word-adjacent letter
+    evidence for the single-byte reading)."""
     from ..functions.charset import charset_suffix
 
     payload_of = {
         0: b"plain ascii body with nothing special",
         1: "héllo wörld café résumé".encode("utf-8"),
         2: b"h\xe9llo caf\xe9 \xe9cole normale",
-        3: "one curly ’ quote only".encode("utf-8"),
+        3: "the Internet’s global reach".encode("utf-8"),
     }
 
     def f(t: pa.Table) -> pa.Table:

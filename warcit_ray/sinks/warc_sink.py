@@ -130,8 +130,21 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
     (tmp + rename); lexicographic filename order == record order.
     A ``_shards.json`` meta pin records (rows_per_shard, gzip) so a
     resume/append with mismatched parameters fails loudly instead of
-    mis-skipping. ``mode='ab'`` = resume/append: existing parts are
-    kept (skipped), new seq ranges add new parts."""
+    mis-skipping.
+
+    ``mode='ab'`` = resume/append. Every part carries a sidecar
+    ``part-<shard>.meta.json`` (records, max_seq, sha256) written
+    atomically with it, so append is SAFE, not skip-blind: for a group
+    landing on an existing part, the rows at or below the part's
+    recorded ``max_seq`` are re-serialized and digest-verified against
+    the on-disk prefix (identical rerun -> skip), and rows with HIGHER
+    seq are appended to the part (gzip members / records concatenate,
+    so append preserves in-part seq order). A digest mismatch — the
+    input rows for an already-written range changed — raises instead
+    of silently keeping the stale part (the reference's single-file
+    'ab' appends everything; an immutable seq-ranged part cannot
+    interleave, so mutation of written ranges is an error here)."""
+    import hashlib
     import json
 
     import pyarrow.compute as pc
@@ -140,7 +153,8 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
     if mode == "xb" and os.path.isdir(out_dir) and glob.glob(os.path.join(out_dir, "*.warc*")):
         raise FileExistsError(out_dir + " already contains WARC shards (use mode='wb'/'ab')")
     if mode == "wb" and os.path.isdir(out_dir):
-        for f in glob.glob(os.path.join(out_dir, "*.warc*")):
+        for f in glob.glob(os.path.join(out_dir, "*.warc*")) + glob.glob(
+                os.path.join(out_dir, "part-*.meta.json")):
             os.remove(f)
         meta_p = os.path.join(out_dir, "_shards.json")
         if os.path.exists(meta_p):
@@ -167,6 +181,21 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
             pa.scalar(int(rows_per_shard), type=pa.int64()))
         return t.append_column("__shard", pc.cast(shard, pa.int64()))
 
+    def _part_meta_path(shard_id: int) -> str:
+        return os.path.join(out_dir, "part-%020d.meta.json" % shard_id)
+
+    def _write_part(name: str, shard_id: int, payload: bytes,
+                    records: int, max_seq: int) -> None:
+        tmp = name + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        mtmp = _part_meta_path(shard_id) + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump({"records": records, "max_seq": max_seq,
+                       "sha256": hashlib.sha256(payload).hexdigest()}, fh)
+        os.replace(tmp, name)         # part first, then meta: a missing
+        os.replace(mtmp, _part_meta_path(shard_id))  # meta is recoverable
+
     def write_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
             return pa.table({"path": pa.array([], type=pa.string()),
@@ -174,11 +203,41 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
         shard_id = g.column("__shard")[0].as_py()
         g = g.drop_columns(["__shard"]).sort_by("seq")
         name = os.path.join(out_dir, "part-%020d%s" % (shard_id, ext))
-        if not os.path.exists(name):  # resume: shard content is
-            tmp = name + ".tmp"       # deterministic, skip is safe
-            with open(tmp, "wb") as fh:
-                fh.write(serialize_batch(g, gzip_members))
-            os.rename(tmp, name)
+        seqs = g.column("seq").to_pylist()
+        if not os.path.exists(name):
+            _write_part(name, shard_id, serialize_batch(g, gzip_members),
+                        g.num_rows, int(seqs[-1]))
+            return pa.table({"path": [name], "records": [g.num_rows]})
+        # part exists: verify-then-append (never skip-blind)
+        pmeta = _part_meta_path(shard_id)
+        if os.path.exists(pmeta):
+            with open(pmeta) as fh:
+                old = json.load(fh)
+            n_old = sum(1 for s in seqs if s <= old["max_seq"])
+            prefix = serialize_batch(g.slice(0, n_old), gzip_members)
+            if hashlib.sha256(prefix).hexdigest() != old["sha256"]:
+                raise ValueError(
+                    "%s: rows for already-written seq range <= %d differ "
+                    "from the on-disk part (changed input or shifted walk "
+                    "order) — refusing to append; use mode='wb' to rewrite"
+                    % (name, old["max_seq"]))
+            if n_old < g.num_rows:  # genuinely new higher-seq rows: append
+                tail = serialize_batch(g.slice(n_old), gzip_members)
+                with open(name, "rb") as fh:
+                    existing = fh.read()
+                _write_part(name, shard_id, existing + tail,
+                            old["records"] + (g.num_rows - n_old),
+                            int(seqs[-1]))
+        else:
+            # legacy part without sidecar: identical rerun skips, any
+            # difference is an error (no way to know what's already in it)
+            with open(name, "rb") as fh:
+                existing = fh.read()
+            if existing != serialize_batch(g, gzip_members):
+                raise ValueError(
+                    "%s exists without a .meta.json sidecar and its bytes "
+                    "differ from this run's records — refusing to guess; "
+                    "use mode='wb' to rewrite" % name)
         return pa.table({"path": [name], "records": [g.num_rows]})
 
     manifest = (
