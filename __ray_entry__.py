@@ -48,6 +48,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revisit_expansion": q.revisit_expansion,
         "warc_build_docs": q.warc_build_docs,
         "warc_digests": q.warc_digests,
+        "warc_digests_sha256": q.warc_digests_sha256,
         "mapfile_remap": q.mapfile_remap,
         "charset_suffixes": q.charset_suffixes,
         "conversion_records": q.conversion_records,
@@ -414,6 +415,45 @@ def oracle_sql() -> dict[str, str]:
                    'text/plain' AS content_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS content_length
             FROM documents ORDER BY doc_id
+        """,
+        "warc_digests_sha256": """
+            SELECT doc_id,
+                   'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
+                       || '.txt' AS target_uri,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
+                   sha256(text) AS payload_sha256
+            FROM documents ORDER BY doc_id
+        """,
+        "quality_scores": """
+            WITH t AS (
+                SELECT doc_id, coalesce(text, '') AS text,
+                       CASE WHEN trim(coalesce(text, '')) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS toks
+                FROM documents
+            ), f AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                            AS DOUBLE) AS punct,
+                       CAST(len(list_filter(toks, s -> lower(s) IN
+                            ('the','and','of','a','to','in','is','it',
+                             'that','for'))) AS DOUBLE) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(stop_hits / greatest(CAST(n_tokens AS DOUBLE), 1), 6)
+                       AS stopword_ratio,
+                   round(least(greatest(n_tokens / 64.0, 0), 1) * 0.4
+                         + least(greatest(1 - (punct / greatest(n_chars, 1)) * 4,
+                                          0), 1) * 0.3
+                         + least(greatest((stop_hits
+                                           / greatest(CAST(n_tokens AS DOUBLE), 1))
+                                          * 4, 0), 1) * 0.3, 6) AS quality
+            FROM f ORDER BY doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,

@@ -886,9 +886,11 @@ def lang_id(sf_dir: str) -> pd.DataFrame:
 
 
 def quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Quality features, SQL-checked: ratios and the composed score are
+    rounded to 6dp to match the DuckDB oracle's round()."""
     from ..stages.text import quality_score_batch
 
-    return (
+    out = (
         _rp(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(quality_score_batch, batch_format="pandas")
         .to_pandas()
@@ -897,6 +899,9 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
             ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality"]
         ]
     )
+    for c in ("punct_ratio", "stopword_ratio", "quality"):
+        out[c] = out[c].round(6)
+    return out
 
 
 def fingerprints(sf_dir: str) -> pd.DataFrame:
@@ -1090,6 +1095,36 @@ def warc_digests(sf_dir: str) -> pd.DataFrame:
     return (
         _rp(sf_dir, "documents", ["doc_id", "text"])
         .map_batches(lambda t: _warc_docs_table(t, True), batch_format="pyarrow")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def warc_digests_sha256(sf_dir: str) -> pd.DataFrame:
+    """SQL-CHECKED payload-byte fidelity for the digest stage: DuckDB
+    1.0 has no sha1(), so the cross-checked digest is hex sha256 over
+    the payload bytes (the sha1/base32 WARC rendering stays covered by
+    warc_digests + the warcio-format unit tests)."""
+    import hashlib
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        payloads = [(x or "").encode("utf-8") for x in texts]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "target_uri": pa.array(
+                ["http://docs.example/doc/%d.txt" % i for i in ids],
+                type=pa.string()),
+            "content_length": pa.array([len(p) for p in payloads],
+                                       type=pa.int64()),
+            "payload_sha256": pa.array(
+                [hashlib.sha256(p).hexdigest() for p in payloads],
+                type=pa.string()),
+        })
+
+    return (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(f, batch_format="pyarrow")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
 
