@@ -607,16 +607,27 @@ class CrawlCheckpoint:
             import ray
 
             os.makedirs(tmp, exist_ok=True)
+            total = sum(c for _, c in frontier)
+            if total <= 65536:
+                # small generation: one driver-side part beats a task
+                # barrier per ref (the scale hazard was only ever the
+                # LARGE-generation materialization)
+                tables = [t for t in ray.get([r for r, c in frontier if c])
+                          if t.num_rows]
+                if tables:
+                    pq.write_table(pa.concat_tables(tables),
+                                   os.path.join(tmp, "part-000000.parquet"))
+            else:
 
-            def _dump(table: pa.Table, path: str) -> int:
-                pq.write_table(table, path)
-                return table.num_rows
+                def _dump(table: pa.Table, path: str) -> int:
+                    pq.write_table(table, path)
+                    return table.num_rows
 
-            dump = ray.remote(num_cpus=0.5)(_dump)
-            ray.get([
-                dump.remote(r, os.path.join(tmp, "part-%06d.parquet" % i))
-                for i, (r, c) in enumerate(frontier) if c
-            ])
+                dump = ray.remote(num_cpus=0.5)(_dump)
+                ray.get([
+                    dump.remote(r, os.path.join(tmp, "part-%06d.parquet" % i))
+                    for i, (r, c) in enumerate(frontier) if c
+                ])
         else:  # materialized Dataset
             frontier.write_parquet(tmp)
         shutil.rmtree(fdir, ignore_errors=True)
