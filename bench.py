@@ -305,8 +305,46 @@ def run_scaling() -> dict:
     return out
 
 
+def _ceiling_work(seed: int) -> int:
+    import hashlib
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    acc = 0
+    for _ in range(40):
+        a = rng.integers(0, 255, (128, 128, 3), dtype=np.uint8)
+        f = np.fft.rfft2(a[:, :, 0].astype(np.float64))
+        c = zlib.compress(a.tobytes(), 6)
+        acc += len(c) + int(abs(f).sum()) % 7
+        acc += int(hashlib.sha1(c).hexdigest()[:4], 16)
+    return acc
+
+
+def run_host_ceiling() -> dict:
+    """--host-ceiling: the RAW 8->32 scaling this VM can deliver with NO
+    Ray at all — a multiprocessing pool of numpy/zlib/sha1 tasks (the
+    convert flagship's instruction mix). The secondary scaling pair can
+    never beat this number on this box; it contextualizes the 8->32
+    efficiency (Ray's own daemons additionally share the 32 CPUs)."""
+    import multiprocessing as mp
+
+    res: dict[int, list] = {}
+    for nproc in (8, 32, 8, 32):
+        t = time.time()
+        with mp.Pool(nproc) as p:
+            p.map(_ceiling_work, range(1536), chunksize=8)
+        res.setdefault(nproc, []).append(round(time.time() - t, 2))
+    eff = (min(res[8]) / min(res[32])) / 4
+    return {"metric": "host_ceiling_8_to_32", "unit": "ratio",
+            "value": round(eff, 3), "secs_8": res[8], "secs_32": res[32]}
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--host-ceiling" in sys.argv:
+        print(json.dumps(run_host_ceiling()))
     else:
         print(json.dumps(run_bench()))
