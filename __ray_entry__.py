@@ -416,6 +416,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS content_length
             FROM documents ORDER BY doc_id
         """,
+        "fingerprints": """
+            -- Horner rolling hash h = (h*B + byte+1) mod 2^61-1 over the
+            -- whitespace-normalized lowercased text, HUGEINT intermediate
+            -- (h*B < 2^81). ascii(c)+1 == utf-8 byte+1 because the
+            -- documents corpus is pure ASCII (checked by the engine's
+            -- equivalence tests for the general byte path).
+            SELECT doc_id,
+                   CAST(CASE WHEN norm = '' THEN 0 ELSE list_reduce(
+                       list_prepend(CAST(0 AS HUGEINT),
+                           list_transform(split(norm, ''),
+                               c -> CAST(ascii(c) + 1 AS HUGEINT))),
+                       (h, b) -> (h * 1000003 + b) % 2305843009213693951
+                   ) END AS BIGINT) AS fingerprint
+            FROM (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(coalesce(text, ''),
+                                                 ' ' || chr(9) || chr(10)
+                                                 || chr(13) || chr(12)
+                                                 || chr(11))),
+                                      '\\s+', ' ', 'g') AS norm
+                FROM documents
+            ) ORDER BY doc_id
+        """,
         "warc_digests_sha256": """
             SELECT doc_id,
                    'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
