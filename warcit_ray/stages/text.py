@@ -57,8 +57,11 @@ def quality_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     mean_tok = (n_chars / n_tokens.clip(lower=1)).astype("float64")
     punct = texts.str.count(r"[^\w\s]").astype("int64")
     punct_ratio = (punct / n_chars.clip(lower=1)).astype("float64")
-    stop_en = STOPWORDS["en"]
-    stop_hits = toks.map(lambda ws: sum(w.lower() in stop_en for w in ws) if isinstance(ws, list) else 0)
+    # vectorized stopword hits: explode tokens, one isin pass, group-sum
+    # back by row index (no per-row Python closure)
+    ex = toks.explode()
+    hit = ex.str.lower().isin(STOPWORDS["en"])
+    stop_hits = hit.groupby(level=0).sum().reindex(texts.index, fill_value=0)
     stop_ratio = (stop_hits / n_tokens.clip(lower=1)).astype("float64")
     score = (
         np.clip(n_tokens / 64.0, 0, 1) * 0.4
