@@ -16,6 +16,7 @@ from __future__ import annotations
 import hashlib
 import os
 import posixpath
+import re
 import struct
 import zipfile
 from urllib.parse import urlsplit
@@ -101,6 +102,11 @@ def parse_zip_pseudo_path(filename: str) -> tuple[bool, str, str]:
 
 _DEFAULT_PORTS = {"http": "80", "https": "443"}
 
+# C-speed gate for the simple-host fast path: a host with no port,
+# userinfo, IPv6 bracket or other URL punctuation (a python
+# `any(c in host ...)` generator here cost ~1us/URL — 4x the match)
+_SIMPLE_HOST_RX = re.compile(r"[A-Za-z0-9.\-]+\Z")
+
 
 def surt(url: str) -> str:
     """Canonical SURT form of a URL.
@@ -126,7 +132,7 @@ def surt(url: str) -> str:
     if rest is not None:
         slash = rest.find("/")
         host = rest[:slash] if slash >= 0 else rest
-        if host and not any(c in host for c in ":@?#[]") and "?" not in rest and "#" not in rest:
+        if host and _SIMPLE_HOST_RX.match(host) and "?" not in rest and "#" not in rest:
             path = rest[slash:] if slash >= 0 else "/"
             return ",".join(reversed(host.lower().rstrip(".").split("."))) + ")" + path
     try:

@@ -133,14 +133,19 @@ def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
     generation loop would otherwise pay actor startup every tick."""
     import ray
 
-    urls = batch.column("url").to_pylist()
-    if not urls:
+    if batch.num_rows == 0:
         return batch
     n = len(seen_actors)
-    # dedup raw URL strings FIRST (cheap), so surt+hash run once per
-    # distinct URL in the batch — link batches repeat heavily at fanout>1
-    uniq_urls, url_inverse = np.unique(np.asarray(urls, dtype=object),
-                                       return_inverse=True)
+    # dedup raw URL strings FIRST via Arrow dictionary encoding (C
+    # speed; only the DISTINCT urls cross into Python), so surt+hash
+    # run once per distinct URL — link batches repeat heavily at
+    # fanout>1
+    col = batch.column("url")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dic = col.dictionary_encode()
+    uniq_urls = dic.dictionary.to_pylist()
+    url_inverse = dic.indices.to_numpy(zero_copy_only=False)
     uniq_hashes = surt_hash64_batch([surt(u) for u in uniq_urls])
     hashes = uniq_hashes[url_inverse]
     # first_of[j] = index in `hashes` of the FIRST occurrence of uniq[j]
