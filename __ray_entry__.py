@@ -443,23 +443,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    'http://docs.example/doc/' || CAST(doc_id AS VARCHAR)
                        || '.txt' AS target_uri,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS content_length,
-                   sha256(text) AS payload_sha256
+                   CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+                       AS content_length,
+                   sha256(coalesce(text, '')) AS payload_sha256
             FROM documents ORDER BY doc_id
         """,
         "quality_scores": """
+            -- whitespace class written out as [ \\t\\n\\r\\f\\v]: the engine
+            -- tokenizes with Python str.split()/\\s, and RE2's \\s (and
+            -- DuckDB's default trim) excludes \\v / non-space edges
             WITH t AS (
                 SELECT doc_id, coalesce(text, '') AS text,
-                       CASE WHEN trim(coalesce(text, '')) = ''
+                       CASE WHEN trim(coalesce(text, ''),
+                                      ' ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11)) = ''
                             THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                            ELSE regexp_split_to_array(
+                                trim(text, ' ' || chr(9) || chr(10)
+                                     || chr(13) || chr(12) || chr(11)),
+                                '[ \\t\\n\\r\\f\\v]+')
                        END AS toks
                 FROM documents
             ), f AS (
                 SELECT doc_id,
                        CAST(len(toks) AS BIGINT) AS n_tokens,
                        CAST(length(text) AS DOUBLE) AS n_chars,
-                       CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g'))
+                       CAST(length(regexp_replace(text,
+                            '[\\w \\t\\n\\r\\f\\v]', '', 'g'))
                             AS DOUBLE) AS punct,
                        CAST(len(list_filter(toks, s -> lower(s) IN
                             ('the','and','of','a','to','in','is','it',

@@ -79,3 +79,33 @@ def test_cli_corpus_mode_with_fragments(tmp_path, capsys, ray_session):
 def test_cli_bad_input(tmp_path, capsys, ray_session):
     assert main([str(tmp_path / "nope.bin")]) == 1
     assert main([str(tmp_path), "--warc-out", "x.warc.gz"]) == 1
+
+
+def test_cli_refuses_used_checkpoint_without_resume(site_dir, tmp_path,
+                                                    capsys, ray_session):
+    """A fresh crawl over a populated checkpoint dir would leave the old
+    run's later generations on disk (and --warc-out would mix two
+    crawls) — the CLI requires --resume or a fresh dir."""
+    ck = str(tmp_path / "ck")
+    rc, _ = _run(capsys, [site_dir, "--checkpoint", ck,
+                          "--max-generations", "6"])
+    assert rc == 0
+    assert main([site_dir, "--checkpoint", ck, "--max-generations", "6"]) == 1
+    assert "--resume" in capsys.readouterr().err
+
+
+def test_cli_zip_site_root_inference(tmp_path, capsys, ray_session):
+    """site_root inference skips root-level files and errors cleanly on
+    archives with no directory entries."""
+    archive = str(tmp_path / "lead.zip")
+    with zipfile.ZipFile(archive, "w") as zp:
+        zp.writestr("README.txt", "root-level file first")
+        zp.writestr("site/index.html", '<a href="a.html">a</a>')
+        zp.writestr("site/a.html", "leaf")
+    rc, res = _run(capsys, [archive, "--max-generations", "8"])
+    assert rc == 0 and res["admitted"] >= 2
+    flat = str(tmp_path / "flat.zip")
+    with zipfile.ZipFile(flat, "w") as zp:
+        zp.writestr("only.html", "x")
+    assert main([flat]) == 1
+    assert "--site-root" in capsys.readouterr().err

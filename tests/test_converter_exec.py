@@ -152,6 +152,12 @@ def test_charset_scorer_not_a_whitelist():
     assert d("héllo wörld café résumé".encode()) == "UTF-8"
     assert d("don’t won’t can’t".encode()) == "UTF-8"
     assert d("这是一个测试文档，包含中文。".encode()) == "UTF-8"
+    # sparse (<=2) IN-WORD accented letters stay the single-byte guess —
+    # uchardet-fidelity: the reference golden itself is such a misread
+    # (a genuinely-UTF-8 page labeled windows-1258 on one in-word ’)
+    assert d("Report by Jürgen tomorrow".encode()) == "windows-1258"
+    assert d("café au lait for two please".encode()) == "windows-1258"
+    assert d("Jürgen und René über alles".encode()) == "UTF-8"  # 3 mb chars
 
 
 # reader-shim tests moved to tests/test_readers.py

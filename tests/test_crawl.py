@@ -403,6 +403,9 @@ def test_fragment_lookup_matches_dict(corpus, tmp_path, ray_session):
     assert ref3 == ref
     with pytest.raises(ValueError):
         write_corpus_fragments(corpus, str(tmp_path / "t"), 9)
+    # a DIFFERENT corpus must not silently reuse the stale fragments
+    with pytest.raises(ValueError, match="stale"):
+        write_corpus_fragments(make_image_table(N + 5), str(tmp_path / "t"), 7)
 
 
 def test_corpus_cache_lru():

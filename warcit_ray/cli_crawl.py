@@ -109,6 +109,17 @@ def main(args=None) -> int:
     if ns.warc_out and not ns.checkpoint:
         print("--warc-out requires --checkpoint", file=sys.stderr)
         return 1
+    if ns.checkpoint and not ns.resume:
+        from warcit_ray.pipelines.crawl import CrawlCheckpoint
+
+        if CrawlCheckpoint(ns.checkpoint).complete_generations():
+            # a fresh crawl over a used checkpoint dir would leave the
+            # old run's later generations on disk and --warc-out would
+            # silently mix two crawls' records
+            print("checkpoint dir %s already holds completed generations; "
+                  "pass --resume to continue that crawl or use a fresh "
+                  "directory" % ns.checkpoint, file=sys.stderr)
+            return 1
 
     common = dict(
         rate=ns.rate, capacity=ns.capacity,
@@ -123,19 +134,56 @@ def main(args=None) -> int:
 
         site_root = ns.site_root
         if not site_root:
+            # first DIRECTORY-bearing member, not namelist()[0]: archives
+            # often lead with root-level files (README etc.), and an
+            # empty archive must error cleanly
             with zipfile.ZipFile(inp) as zp:
-                site_root = zp.namelist()[0].split("/", 1)[0]
+                site_root = next(
+                    (m.split("/", 1)[0] for m in zp.namelist() if "/" in m),
+                    None)
+            if site_root is None:
+                print("cannot infer a site root from %s (no directory "
+                      "entries); pass --site-root" % ns.input, file=sys.stderr)
+                return 1
         seeds = ["%s/%s" % (site_root, s) for s in ns.seeds.split(",")]
         res = crawl_zip(inp, site_root, seeds, track_visits=False, **common)
         mode = "zip"
     elif _is_parquet_input(inp):
-        import pyarrow.dataset as pads
-
         from warcit_ray.pipelines.crawl import crawl
 
-        corpus = pads.dataset(inp).to_table()
-        res = crawl(corpus, n_seeds=ns.n_seeds,
-                    corpus_fragments_dir=ns.corpus_fragments, **common)
+        if ns.corpus_fragments:
+            # 100 TB path end to end: the corpus goes straight from
+            # parquet to the on-disk fragments as a streaming Dataset —
+            # the DRIVER never holds it (to_table() here would defeat
+            # the fragment mode's whole point)
+            import ray.data as rd
+
+            from warcit_ray.pipelines.crawl import (
+                WebGraph,
+                explode_links,
+                fetch_batch,
+                seeds_table,
+                write_corpus_fragments,
+            )
+
+            ds = rd.read_parquet(inp)
+            n = ds.count()
+            num_parts = max(8, int(ds.size_bytes() // (64 << 20)))
+            ref = write_corpus_fragments(ds, ns.corpus_fragments, num_parts)
+            graph = WebGraph(n)
+            res = crawl(
+                fetch_fn=fetch_batch,
+                fetch_args=(ref, graph, ns.fixed_dt),
+                explode_fn=lambda t: explode_links(t, graph),
+                seeds=seeds_table(graph, ns.n_seeds),
+                robots_map=graph.robots_map(),
+                seen_capacity=max(4096, 4 * n),
+                **common)
+        else:
+            import pyarrow.dataset as pads
+
+            corpus = pads.dataset(inp).to_table()
+            res = crawl(corpus, n_seeds=ns.n_seeds, **common)
         mode = "corpus"
     elif os.path.isdir(inp):
         from warcit_ray.pipelines.zipcrawl import crawl_dir

@@ -33,9 +33,13 @@ Two detectors:
     uchardet's Vietnamese model is exactly why the reference golden
     says windows-1258 rather than windows-1252.
 
-  Net behavior: one in-word curly quote in otherwise-ASCII text
-  (the iana index.html shape) reads as windows-1258; the same byte
-  with no word adjacency, or >=2-3 multibyte chars, reads as UTF-8.
+  Net behavior: SPARSE in-word non-ascii — one curly quote (the iana
+  index.html shape) or up to two accented letters inside words — reads
+  as windows-1258, mirroring uchardet's documented weakness on sparse
+  multibyte evidence (the reference golden IS such a misread: real
+  cchardet labels a UTF-8 page windows-1258 on one ’). Non-ascii with
+  no word adjacency (print.css), or >=3 multibyte chars, reads as
+  UTF-8; >=6 short-circuits to UTF-8 before any SBCS decode.
   Byte streams that are NOT valid UTF-8 are scored against the
   windows-125x / latin-1 codepages by decoded-character plausibility
   (letter/space/punct ratio).
@@ -121,7 +125,12 @@ def detect_charset_cchardet(payload: bytes) -> str:
         return best
     # valid UTF-8: confidence contest vs the SBCS readings
     n_mb = len(_NON_ASCII_RX.findall(text))
-    utf8_conf = 0.99 if n_mb >= 6 else 1.0 - 0.99 * (0.5 ** n_mb)
+    if n_mb >= 6:
+        # utf8_conf saturates at 0.99 > any possible SBCS conf
+        # (0.95 + 0.02 tie-break) — skip the candidate decodes entirely
+        # (they re-decode the full payload per codepage)
+        return "UTF-8"
+    utf8_conf = 1.0 - 0.99 * (0.5 ** n_mb)
     best, best_conf = "UTF-8", utf8_conf
     for enc in _SBCS_CANDIDATES:
         conf = _sbcs_confidence(payload, enc)

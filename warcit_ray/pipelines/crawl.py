@@ -382,13 +382,31 @@ def write_corpus_fragments(corpus, out_dir: str, num_buckets: int) -> dict:
 
     out_dir = os.path.abspath(out_dir)
     meta_path = os.path.join(out_dir, "_corpus.json")
-    meta = {"num_buckets": int(num_buckets)}
+    # identity pin: num_buckets AND the corpus shape — a fragments dir
+    # populated from a DIFFERENT corpus must not be silently reused
+    # (stale payload bytes with no error). Row count is cheap for both
+    # input kinds; the id-span tightens the check for tables.
+    if isinstance(corpus, pa.Table):
+        num_rows = corpus.num_rows
+        ids = corpus.column("image_id")
+        id_span = [str(pa.compute.min(ids).as_py()),
+                   str(pa.compute.max(ids).as_py())] if num_rows else ["", ""]
+    else:
+        num_rows = corpus.count()
+        id_span = None  # Dataset path: row count only (span needs a scan)
+    meta = {"num_buckets": int(num_buckets), "num_rows": int(num_rows),
+            "id_span": id_span}
     if os.path.exists(meta_path):
         with open(meta_path) as fh:
             old = json.load(fh)
-        if old != meta:
+        comparable = dict(meta)
+        if old.get("id_span") is None or meta["id_span"] is None:
+            comparable["id_span"] = old.get("id_span")
+        if old != comparable:
             raise ValueError(
-                "existing corpus fragment layout %r != requested %r" % (old, meta))
+                "existing corpus fragment layout %r does not match the "
+                "offered corpus %r — refusing to reuse stale fragments; "
+                "point corpus_fragments_dir at a fresh directory" % (old, meta))
         return {"kind": "frags", "dir": out_dir, "P": num_buckets}
     os.makedirs(out_dir, exist_ok=True)
 
@@ -601,6 +619,14 @@ class CrawlCheckpoint:
         fdir = os.path.join(d, "next_frontier")
         tmp = fdir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
+        # clear any prior attempt's carrier FIRST: a crashed or rerun
+        # generation may have left a stale next_frontier/ dir (or a
+        # legacy single file, which load_next_frontier prefers) — an
+        # empty new frontier must not resurrect the abandoned lineage
+        shutil.rmtree(fdir, ignore_errors=True)
+        legacy = os.path.join(d, "next_frontier.parquet")
+        if os.path.exists(legacy):
+            os.remove(legacy)
         if frontier is None:
             return
         if isinstance(frontier, pa.Table):
@@ -635,7 +661,6 @@ class CrawlCheckpoint:
                 ])
         else:  # materialized Dataset
             frontier.write_parquet(tmp)
-        shutil.rmtree(fdir, ignore_errors=True)
         os.rename(tmp, fdir)
 
     def write_generation(self, g: int, *, records_ds, admitted: pa.Table,
@@ -754,6 +779,7 @@ def crawl(
     corpus_broadcast_threshold: int = 256 << 20,
     corpus_fragments_dir: str | None = None,
     task_frontier_threshold: int | None = None,
+    seen_capacity: int | None = None,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
@@ -804,11 +830,13 @@ def crawl(
         explode_fn = lambda t: explode_links(t, graph)  # noqa: E731
         seeds = seeds_table(graph, n_seeds)
         robots_map = graph.robots_map()
-        seen_capacity = max(4096, 4 * n)
+        if seen_capacity is None:
+            seen_capacity = max(4096, 4 * n)
     else:
         if seeds is None or explode_fn is None:
             raise ValueError("custom fetch_fn needs seeds and explode_fn")
-        seen_capacity = 1 << 20
+        if seen_capacity is None:
+            seen_capacity = 1 << 20
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None
 

@@ -25,7 +25,13 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int):
     def f(t: pa.Table) -> pa.Table:
         # zero-copy for null-free int keys (to_pylist would round-trip
         # every key through Python objects on every batch of every join)
-        k = t.column(key).combine_chunks().to_numpy(
+        col = t.column(key)
+        if col.null_count:
+            # a NaN would silently astype to INT64_MIN and hash-bucket
+            # a garbage key instead of surfacing the data problem
+            raise ValueError("join key %r contains %d null(s)"
+                             % (key, col.null_count))
+        k = col.combine_chunks().to_numpy(
             zero_copy_only=False).astype(np.int64, copy=False)
         # splitmix-style mix so sequential keys spread across buckets
         h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
