@@ -965,22 +965,13 @@ def crawl(
 
         # --- 2. politeness tick: admit per host --------------------------
         _t0 = _now()
-        # per-shard admits become Arrow tables immediately (one table per
-        # shard, fixed shard order -> deterministic concat); the driver
-        # never accumulates python element lists. One generation's admit
-        # set is bounded by rate x hosts, the only driver-held state.
-        admits = ray.get([a.admit.remote() for a in host_actors])
-        shard_tables = []
-        for ad in admits:
-            if ad["url"]:
-                shard_tables.append(pa.table({
-                    "host": pa.array(ad["host"], type=pa.string()),
-                    "url": pa.array(ad["url"], type=pa.string()),
-                    "priority": pa.array(ad["priority"], type=pa.int64()),
-                    "seq": pa.array(ad["seq"], type=pa.int64()),
-                    "payload_key": pa.array(ad["payload_key"], type=pa.string()),
-                    "depth": pa.array(ad["depth"], type=pa.int64()),
-                }))
+        # per-shard admits arrive as Arrow tables built ON the actors
+        # (fixed shard order -> deterministic concat): the driver's
+        # ray.get maps plasma-backed tables and never materializes
+        # python string lists. One generation's admit set is bounded by
+        # rate x hosts, the only driver-held state.
+        admits = ray.get([a.admit_table.remote() for a in host_actors])
+        shard_tables = [t for t in admits if t is not None]
         n_admitted = sum(t.num_rows for t in shard_tables)
         if n_admitted == 0:
             pending = sum(ray.get([a.pending.remote() for a in host_actors]))
