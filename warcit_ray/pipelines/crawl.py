@@ -971,7 +971,20 @@ def crawl(
         # python string lists. One generation's admit set is bounded by
         # rate x hosts, the only driver-held state.
         admits = ray.get([a.admit_table.remote() for a in host_actors])
-        shard_tables = [t for t in admits if t is not None]
+        shard_tables = []
+        for ad in admits:
+            if ad is None:
+                continue
+            if isinstance(ad, dict):  # small tick arrived inline
+                ad = pa.table({
+                    "host": pa.array(ad["host"], type=pa.string()),
+                    "url": pa.array(ad["url"], type=pa.string()),
+                    "priority": pa.array(ad["priority"], type=pa.int64()),
+                    "seq": pa.array(ad["seq"], type=pa.int64()),
+                    "payload_key": pa.array(ad["payload_key"], type=pa.string()),
+                    "depth": pa.array(ad["depth"], type=pa.int64()),
+                })
+            shard_tables.append(ad)
         n_admitted = sum(t.num_rows for t in shard_tables)
         if n_admitted == 0:
             pending = sum(ray.get([a.pending.remote() for a in host_actors]))

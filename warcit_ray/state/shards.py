@@ -150,15 +150,19 @@ class HostShardState:
         self.stats["admitted"] += len(out["url"])
         return out
 
-    def admit_table(self):
-        """One politeness tick -> an Arrow table (or None when empty).
-        The actor does the list->Arrow conversion so the driver's
-        ray.get materializes a plasma-backed table instead of hundreds
-        of thousands of transient Python strings (the admit transfer
-        was the largest driver-side allocation at 400k-URL scale)."""
+    def admit_table(self, inline_threshold: int = 4096):
+        """One politeness tick -> None (empty), the plain dict (small
+        tick — inline serialization beats a plasma round trip), or an
+        Arrow table built ON the actor (large tick — the driver's
+        ray.get maps a plasma-backed table instead of materializing
+        hundreds of thousands of transient Python strings; the admit
+        transfer was the largest driver-side allocation at 400k-URL
+        scale)."""
         out = self.admit()
         if not out["url"]:
             return None
+        if len(out["url"]) <= inline_threshold:
+            return out
         import pyarrow as pa
 
         return pa.table({
