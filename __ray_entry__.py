@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q.quality_scores,
         "fingerprints": q.fingerprints,
         "ann_ivf": q.ann_ivf,
+        "clean_corpus_exact": q.clean_corpus_exact,
+        "clean_corpus": q.clean_corpus,
         # crawl + image pipelines (north rule; rows-only)
         "crawl_demo": q.crawl_demo,
         "crawl_records": q.crawl_records,
@@ -415,6 +417,50 @@ def oracle_sql() -> dict[str, str]:
                    'text/plain' AS content_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS content_length
             FROM documents ORDER BY doc_id
+        """,
+        "clean_corpus_exact": """
+            -- composed cleaning chain: exact dedup (min doc_id per
+            -- content hash) -> quality score -> filter >= 0.5 -> token
+            -- counts; whitespace semantics as in quality_scores
+            WITH keep AS (
+                SELECT min(doc_id) AS doc_id
+                FROM documents GROUP BY md5(coalesce(text, ''))
+            ), t AS (
+                SELECT d.doc_id, coalesce(d.text, '') AS text,
+                       CASE WHEN trim(coalesce(d.text, ''),
+                                      ' ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                trim(d.text, ' ' || chr(9) || chr(10)
+                                     || chr(13) || chr(12) || chr(11)),
+                                '[ \\t\\n\\r\\f\\v]+')
+                       END AS toks
+                FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+            ), f AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS ws_tokens,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_replace(text,
+                            '[\\w \\t\\n\\r\\f\\v]', '', 'g'))
+                            AS DOUBLE) AS punct,
+                       CAST(len(list_filter(toks, s -> lower(s) IN
+                            ('the','and','of','a','to','in','is','it',
+                             'that','for'))) AS DOUBLE) AS stop_hits
+                FROM t
+            ), q AS (
+                SELECT doc_id, ws_tokens,
+                       least(greatest(ws_tokens / 64.0, 0), 1) * 0.4
+                       + least(greatest(1 - (punct / greatest(n_chars, 1)) * 4,
+                                        0), 1) * 0.3
+                       + least(greatest((stop_hits
+                                         / greatest(CAST(ws_tokens AS DOUBLE),
+                                                    1)) * 4, 0), 1) * 0.3
+                           AS quality
+                FROM f
+            )
+            SELECT doc_id, ws_tokens, round(quality, 6) AS quality
+            FROM q WHERE quality >= 0.5 ORDER BY doc_id
         """,
         "fingerprints": """
             -- Horner rolling hash h = (h*B + byte+1) mod 2^61-1 over the

@@ -192,6 +192,7 @@ def bench_queries(results: dict) -> None:
         ("token_counts", q.token_counts),
         ("embedding_topk", q.embedding_topk),
         ("minhash_dedup", q.minhash_dedup),
+        ("clean_corpus_exact", q.clean_corpus_exact),
         ("image_transcode", q.image_transcode),
     ]:
         t = time.time()

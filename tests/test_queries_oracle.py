@@ -85,7 +85,7 @@ def test_entry_smoke(entry_mod):
     "dir_walk", "zip_enumerate", "mapfile_load", "conversion_results_yaml",
     "warcinfo_record", "logfile_rows", "rules_load", "transclusions_load",
     "embedding_near_dup", "quality_scores", "warc_digests_sha256",
-    "fingerprints",
+    "fingerprints", "clean_corpus_exact",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
@@ -101,7 +101,7 @@ def test_query_vs_oracle(entry_mod, con, name):
 
 @pytest.mark.parametrize("name", sorted([
     "warc_digests", "minhash_dedup", "simhash_dedup",
-    "lang_id", "ann_ivf", "crawl_demo",
+    "lang_id", "ann_ivf", "crawl_demo", "clean_corpus",
     "crawl_records", "image_transcode", "image_features", "phash_near_dup",
     "image_resize",
 ]))
@@ -121,7 +121,7 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     rows_only = qs - sqls
     expected_rows_only = {
         "warc_digests", "minhash_dedup", "simhash_dedup",
-        "lang_id", "ann_ivf", "crawl_demo",
+        "lang_id", "ann_ivf", "crawl_demo", "clean_corpus",
         "crawl_records", "image_transcode", "image_features", "phash_near_dup",
         "image_resize",
     }

@@ -1129,6 +1129,65 @@ def warc_digests_sha256(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def clean_corpus_exact(sf_dir: str) -> pd.DataFrame:
+    """Composed training-data cleaning pipeline (SQL-checkable leg):
+    exact dedup (keep the min doc_id per content hash) -> quality
+    scoring -> quality filter (>= 0.5) -> whitespace token counts, one
+    chained Dataset — the realistic 'clean a corpus' workflow built
+    from the engine's stages, cross-checked end to end by a single
+    DuckDB query."""
+    from ..stages.dedup import distinct_rows
+    from ..stages.text import quality_score_batch, token_count_batch
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    kept = distinct_rows(ds)
+
+    def score_filter(df: pd.DataFrame) -> pd.DataFrame:
+        out = quality_score_batch(df)
+        return out[out["quality"] >= 0.5]
+
+    cleaned = (
+        kept.map_batches(score_filter, batch_format="pandas")
+        .map_batches(lambda t: token_count_batch(t.select(["doc_id", "text",
+                                                           "quality"])),
+                     batch_format="pyarrow")
+    )
+    out = cleaned.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["quality"] = out["quality"].round(6)
+    return out[["doc_id", "ws_tokens", "quality"]]
+
+
+def clean_corpus(sf_dir: str) -> pd.DataFrame:
+    """Full cleaning chain including the non-SQL ops: exact dedup ->
+    MinHash+LSH near-dup removal -> quality filter -> language ID ->
+    token counts. The near-dup removal side is tiny (the dup list),
+    so it broadcasts into a filter instead of shuffling the corpus."""
+    from ..stages.dedup import distinct_rows, minhash_lsh_dedup
+    from ..stages.text import LangId, quality_score_batch, token_count_batch
+
+    ds = _docs_with_near_dups(sf_dir)
+    dup, _ = minhash_lsh_dedup(_docs_with_near_dups(sf_dir), threshold=0.5)
+    dup_df = dup.to_pandas()
+    drop = frozenset(int(x) for x in dup_df["doc_id"]) if len(dup_df) else frozenset()
+
+    kept = distinct_rows(ds)
+
+    def near_dup_and_quality(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[~df["doc_id"].isin(drop)]
+        out = quality_score_batch(df)
+        return out[out["quality"] >= 0.5]
+
+    cleaned = (
+        kept.map_batches(near_dup_and_quality, batch_format="pandas")
+        .map_batches(lambda t: token_count_batch(
+            t.select(["doc_id", "text", "quality"])), batch_format="pyarrow")
+        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    )
+    out = cleaned.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out["quality"] = out["quality"].round(6)
+    return out[["doc_id", "ws_tokens", "quality", "pred_lang"]]
+
+
 def crawl_records(sf_dir: str) -> pd.DataFrame:
     """Flagship (north rule end to end): seed URLs through the sharded
     cuckoo seen-set, politeness token buckets, robots gating and the
