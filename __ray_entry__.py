@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.ann_ivf,
         "clean_corpus_exact": q.clean_corpus_exact,
         "clean_corpus": q.clean_corpus,
+        "repetition_scores": q.repetition_scores,
         # crawl + image pipelines (north rule; rows-only)
         "crawl_demo": q.crawl_demo,
         "crawl_records": q.crawl_records,
@@ -417,6 +418,37 @@ def oracle_sql() -> dict[str, str]:
                    'text/plain' AS content_type,
                    CAST(octet_length(encode(text)) AS BIGINT) AS content_length
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_scores": """
+            -- duplicate-bigram ratio: 1 - distinct/total over token
+            -- bigrams (Gopher-style repetition filter feature)
+            WITH t AS (
+                SELECT doc_id,
+                       CASE WHEN trim(coalesce(text, ''),
+                                      ' ' || chr(9) || chr(10) || chr(13)
+                                      || chr(12) || chr(11)) = ''
+                            THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(
+                                trim(text, ' ' || chr(9) || chr(10)
+                                     || chr(13) || chr(12) || chr(11)),
+                                '[ \\t\\n\\r\\f\\v]+')
+                       END AS toks
+                FROM documents
+            ), b AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(1, len(toks)),
+                                i -> toks[i] || chr(0) || toks[i + 1])
+                       END AS bigrams
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+                   CASE WHEN len(bigrams) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(bigrams))
+                                              AS DOUBLE) / len(bigrams), 6)
+                   END AS rep_ratio
+            FROM b ORDER BY doc_id
         """,
         "clean_corpus_exact": """
             -- composed cleaning chain: exact dedup (min doc_id per

@@ -85,7 +85,7 @@ def test_entry_smoke(entry_mod):
     "dir_walk", "zip_enumerate", "mapfile_load", "conversion_results_yaml",
     "warcinfo_record", "logfile_rows", "rules_load", "transclusions_load",
     "embedding_near_dup", "quality_scores", "warc_digests_sha256",
-    "fingerprints", "clean_corpus_exact",
+    "fingerprints", "clean_corpus_exact", "repetition_scores",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

@@ -904,6 +904,19 @@ def quality_scores(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def repetition_scores(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style duplicate-bigram ratios (SQL-checked)."""
+    from ..stages.text import repetition_score_batch
+
+    out = (
+        _rp(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(repetition_score_batch, batch_format="pandas")
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    out["rep_ratio"] = out["rep_ratio"].round(6)
+    return out[["doc_id", "n_bigrams", "rep_ratio"]]
+
+
 def fingerprints(sf_dir: str) -> pd.DataFrame:
     from ..stages.text import fingerprint_batch
 

@@ -77,6 +77,26 @@ def quality_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFram
     return df
 
 
+def repetition_score_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Gopher-style repetition feature: the fraction of token-bigram
+    occurrences that are duplicates of an earlier bigram in the same
+    document (`1 - distinct/total`) — high values flag the
+    boilerplate/repetitive docs a training-data pipeline drops.
+    Vectorized: explode tokens, group-shift to pair neighbors, one
+    nunique/size pass per row index — no per-row Python."""
+    toks = df[text_col].fillna("").str.split()
+    ex = toks.explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    big = (ex + "\x00" + nxt).dropna()
+    total = big.groupby(level=0).size()
+    distinct = big.groupby(level=0).nunique()
+    out = df.copy()
+    out["n_bigrams"] = total.reindex(df.index, fill_value=0).astype("int64")
+    rep = 1.0 - (distinct / total)
+    out["rep_ratio"] = rep.reindex(df.index, fill_value=0.0).astype("float64")
+    return out
+
+
 class LangId:
     """n-gram/stopword language heuristic over {en,de,fr,es,zh}.
     CJK codepoint ratio decides zh; otherwise argmax stopword hits with
