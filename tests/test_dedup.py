@@ -140,6 +140,23 @@ def test_minhash_forced_large_path_same_result(ray_session):
     pd.testing.assert_frame_equal(p1, p2)
 
 
+def test_distinct_rows_tiers_equivalent(ray_session):
+    """Exact whole-row dedup: the broadcast keep-set tier and the
+    bucketed-join fallback (forced via broadcast_threshold=0) must both
+    keep exactly the min-id row per distinct text."""
+    import ray.data as rd
+
+    from warcit_ray.stages.dedup import distinct_rows
+
+    rows = [{"doc_id": i, "text": "body %d" % (i % 40)} for i in range(200)]
+    want_ids = sorted(range(40))
+    for thresh in (50_000_000, 0):
+        out = distinct_rows(rd.from_items(rows),
+                            broadcast_threshold=thresh).to_pandas()
+        assert sorted(out["doc_id"]) == want_ids, thresh
+        assert len(set(out["text"])) == 40
+
+
 def test_simhash_batched_matches_per_doc():
     """The vectorized batch path (flat token array + reduceat segment
     votes + sign-bit pack) must be byte-identical to the single-doc

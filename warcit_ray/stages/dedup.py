@@ -67,19 +67,87 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
-def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup keeping whole rows: hash -> groupby -> first (min id)."""
-    def add_hash(batch: pa.Table) -> pa.Table:
-        return md5_batch(batch, text_col)
+def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
+                  broadcast_threshold: int = 50_000_000):
+    """Exact dedup keeping whole rows.
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+    NOT groupby().map_groups: Ray invokes map_groups once per GROUP,
+    and at ~1-2 ms of pandas frame overhead per call a 100k-distinct
+    corpus costs ~15 s (measured) — per-group dispatch is the wrong
+    shape for high-cardinality dedup. Instead: the partial-aggregated
+    ``exact_dedup_groups`` shuffle produces only (hash, keep_id) pairs,
+    and the keep-id SET (a packed int64 array, 8 bytes/row — 400 MB at
+    50M rows) broadcasts into a vectorized ``searchsorted`` filter.
+    Above ``broadcast_threshold`` kept rows, fall back to a bucketed
+    hash join of the rows against the keep pairs on ``text_md5`` (one
+    corpus shuffle — the honest cost when even the id set outgrows
+    broadcast)."""
+    import ray
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_md5")
-        .map_groups(first, batch_format="pandas")
-    )
+    # materialized: consumed twice (count + block refs) — an
+    # unmaterialized Dataset would re-run the whole aggregate shuffle
+    groups = exact_dedup_groups(ds, id_col=id_col,
+                                text_col=text_col).materialize()
+    ds_hashed = ds.map_batches(lambda b: md5_batch(b, text_col),
+                               batch_format="pyarrow")
+    n_keep = groups.count()
+    if n_keep <= broadcast_threshold:
+        keep_parts = [
+            t.column("keep_id").to_numpy(zero_copy_only=False)
+            for t in ray.get(groups.to_arrow_refs())
+            # the aggregate can emit schema-less empty blocks
+            if t.num_rows and "keep_id" in t.schema.names
+        ]
+        keep = np.sort(np.concatenate(keep_parts)) if keep_parts else \
+            np.empty(0, dtype=np.int64)
+        keep_ref = ray.put(keep)
+
+        def keep_filter(t: pa.Table, _ref=keep_ref) -> pa.Table:
+            from ..stages.similarity import _resolve
+
+            k = _resolve(_ref)
+            if len(k) == 0:
+                return t.slice(0, 0)
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
+            return t.filter(pa.array(k[pos] == ids))
+
+        return ds_hashed.map_batches(keep_filter, batch_format="pyarrow")
+    # join fallback: bucketed join keys are int64, so join on the md5's
+    # 64-bit prefix and verify the FULL hash + keeper id after the merge
+    # (a 64-bit prefix collision must not adopt another group's keeper)
+    from .joins import bucketed_hash_join
+
+    def _md5_int(t: pa.Table, col_out: str) -> pa.Table:
+        h = np.array(
+            [int(x[:16], 16) - (1 << 63) for x in t.column("text_md5").to_pylist()],
+            dtype=np.int64)
+        return t.append_column(col_out, pa.array(h))
+
+    rows = ds_hashed.map_batches(lambda t: _md5_int(t, "md5_int"),
+                                 batch_format="pyarrow")
+    _KEEPS_SCHEMA = pa.schema([pa.field("keep_md5", pa.string()),
+                               pa.field("keep_id", pa.int64()),
+                               pa.field("md5_int", pa.int64())])
+
+    def _keeps_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "keep_id" not in t.schema.names:
+            return _KEEPS_SCHEMA.empty_table()
+        return _md5_int(t.select(["text_md5", "keep_id"]), "md5_int") \
+            .rename_columns(["keep_md5", "keep_id", "md5_int"])
+
+    keeps = groups.map_batches(_keeps_batch, batch_format="pyarrow")
+    joined = bucketed_hash_join(rows, keeps, "md5_int")
+
+    def only_kept(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.and_(pc.equal(t[id_col], t["keep_id"]),
+                       pc.equal(t["text_md5"], t["keep_md5"]))
+        return t.filter(mask).drop_columns(["keep_id", "keep_md5", "md5_int"])
+
+    return joined.map_batches(only_kept, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
