@@ -529,7 +529,10 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": """
             -- whitespace class written out as [ \\t\\n\\r\\f\\v]: the engine
             -- tokenizes with Python str.split()/\\s, and RE2's \\s (and
-            -- DuckDB's default trim) excludes \\v / non-space edges
+            -- DuckDB's default trim) excludes \\v / non-space edges.
+            -- Equivalence is exact for ASCII corpora (this one);
+            -- Unicode spaces (NBSP, U+2000..) would still split only
+            -- on the Python side
             WITH t AS (
                 SELECT doc_id, coalesce(text, '') AS text,
                        CASE WHEN trim(coalesce(text, ''),

@@ -155,6 +155,18 @@ def test_distinct_rows_tiers_equivalent(ray_session):
                             broadcast_threshold=thresh).to_pandas()
         assert sorted(out["doc_id"]) == want_ids, thresh
         assert len(set(out["text"])) == 40
+    # duplicate-id robustness: the keep filter matches the (id, hash)
+    # PAIR, so a duplicate-id row of UNRELATED text is not kept just
+    # because its id happens to be some group's keeper
+    rows2 = [{"doc_id": 3, "text": "unique B"},
+             {"doc_id": 5, "text": "shared A"},
+             {"doc_id": 5, "text": "unique B"},  # dup id, not B's keeper
+             {"doc_id": 9, "text": "shared A"}]
+    for thresh in (50_000_000, 0):
+        out = distinct_rows(rd.from_items(rows2),
+                            broadcast_threshold=thresh).to_pandas()
+        got = sorted(zip(out["doc_id"], out["text"]))
+        assert got == [(3, "unique B"), (5, "shared A")], (thresh, got)
 
 
 def test_simhash_batched_matches_per_doc():

@@ -62,13 +62,23 @@ def clean(ns) -> dict:
     if ns.near_dup:
         from warcit_ray.stages.dedup import minhash_lsh_dedup
 
-        dup, _ = minhash_lsh_dedup(
-            rd.read_parquet(ns.input, columns=[ns.id_col, ns.text_col]),
-            threshold=ns.near_dup_threshold, id_col=ns.id_col)
+        # the MinHash stage reads the text from a column named "text";
+        # Datasets are re-executable, so re-consume `ds` with a rename
+        # rather than re-declaring the read
+        nd_ds = ds
+        if ns.text_col != "text":
+            nd_ds = ds.map_batches(
+                lambda t: t.rename_columns(
+                    ["text" if c == ns.text_col else c
+                     for c in t.schema.names]),
+                batch_format="pyarrow")
+        dup, _ = minhash_lsh_dedup(nd_ds, threshold=ns.near_dup_threshold,
+                                   id_col=ns.id_col)
         dup_df = dup.to_pandas()
-        dup_col = ns.id_col if ns.id_col in dup_df.columns else dup_df.columns[0]
-        drop = frozenset(int(x) for x in dup_df[dup_col]) if len(dup_df) \
-            else frozenset()
+        if len(dup_df):
+            dup_col = ns.id_col if ns.id_col in dup_df.columns \
+                else dup_df.columns[0]
+            drop = frozenset(int(x) for x in dup_df[dup_col])
         n_near = len(drop)
 
     min_q = ns.min_quality

@@ -402,6 +402,11 @@ def write_corpus_fragments(corpus, out_dir: str, num_buckets: int) -> dict:
         comparable = dict(meta)
         if old.get("id_span") is None or meta["id_span"] is None:
             comparable["id_span"] = old.get("id_span")
+        if "num_rows" not in old:
+            # legacy layout (bucket-count-only pin): accept on matching
+            # bucket count rather than forcing a repopulation of a
+            # still-valid dir; new writes always pin the full identity
+            comparable = {"num_buckets": comparable["num_buckets"]}
         if old != comparable:
             raise ValueError(
                 "existing corpus fragment layout %r does not match the "
@@ -409,6 +414,13 @@ def write_corpus_fragments(corpus, out_dir: str, num_buckets: int) -> dict:
                 "point corpus_fragments_dir at a fresh directory" % (old, meta))
         return {"kind": "frags", "dir": out_dir, "P": num_buckets}
     os.makedirs(out_dir, exist_ok=True)
+    # no manifest: any bucket files are a CRASHED prior population
+    # (possibly of a different corpus) — clear them so stale buckets
+    # cannot survive next to the fresh ones
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(out_dir, "bucket-*.parquet")):
+        os.remove(f)
 
     def bucket_path(b: int) -> str:
         return os.path.join(out_dir, "bucket-%05d.parquet" % b)

@@ -1178,8 +1178,8 @@ def clean_corpus(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows, minhash_lsh_dedup
     from ..stages.text import LangId, quality_score_batch, token_count_batch
 
-    ds = _docs_with_near_dups(sf_dir)
-    dup, _ = minhash_lsh_dedup(_docs_with_near_dups(sf_dir), threshold=0.5)
+    ds = _docs_with_near_dups(sf_dir)  # re-executable: consumed by both
+    dup, _ = minhash_lsh_dedup(ds, threshold=0.5)
     dup_df = dup.to_pandas()
     drop = frozenset(int(x) for x in dup_df["doc_id"]) if len(dup_df) else frozenset()
 

@@ -67,6 +67,31 @@ def exact_dedup_groups(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64."""
+    x = x.astype(np.uint64, copy=True)
+    x += np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _keep_pair_key(ids: np.ndarray, md5_i64: np.ndarray) -> np.ndarray:
+    """64-bit key of a (keeper id, content hash) PAIR: the keep filter
+    must match both — an id-only filter silently keeps duplicate-id
+    rows of unrelated text. A pair-key collision (~2^-64/row) can only
+    KEEP an extra row, never drop one."""
+    return _splitmix64(ids.astype(np.int64).view(np.uint64)) ^ \
+        md5_i64.astype(np.int64).view(np.uint64)
+
+
+def _md5_hex_prefix_i64(hexes: list) -> np.ndarray:
+    """int64 from the first 16 hex chars — identical to md5_batch's
+    text_md5_i64 (digest[:8] big-endian, signed)."""
+    return np.array([int(x[:16], 16) - (1 << 63) for x in hexes],
+                    dtype=np.int64)
+
+
 def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
                   broadcast_threshold: int = 50_000_000):
     """Exact dedup keeping whole rows.
@@ -75,13 +100,15 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
     and at ~1-2 ms of pandas frame overhead per call a 100k-distinct
     corpus costs ~15 s (measured) — per-group dispatch is the wrong
     shape for high-cardinality dedup. Instead: the partial-aggregated
-    ``exact_dedup_groups`` shuffle produces only (hash, keep_id) pairs,
-    and the keep-id SET (a packed int64 array, 8 bytes/row — 400 MB at
-    50M rows) broadcasts into a vectorized ``searchsorted`` filter.
-    Above ``broadcast_threshold`` kept rows, fall back to a bucketed
-    hash join of the rows against the keep pairs on ``text_md5`` (one
-    corpus shuffle — the honest cost when even the id set outgrows
-    broadcast)."""
+    ``exact_dedup_groups`` shuffle produces (hash, keep_id) pairs; the
+    keeper (id, hash) PAIR KEYS — one int64 each, 8 bytes/row on the
+    driver (the hash/id columns are projected to the key remotely) —
+    broadcast into a vectorized ``searchsorted`` filter. Above
+    ``broadcast_threshold`` kept rows, fall back to a bucketed hash
+    join of the rows against the keep pairs on the md5-prefix int key
+    (one corpus shuffle — the honest cost when even the key set
+    outgrows broadcast), verifying full hash + keeper id after the
+    merge."""
     import ray
 
     # materialized: consumed twice (count + block refs) — an
@@ -92,14 +119,22 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
                                batch_format="pyarrow")
     n_keep = groups.count()
     if n_keep <= broadcast_threshold:
-        keep_parts = [
-            t.column("keep_id").to_numpy(zero_copy_only=False)
-            for t in ray.get(groups.to_arrow_refs())
+        def to_pair_keys(t: pa.Table) -> pa.Table:
             # the aggregate can emit schema-less empty blocks
-            if t.num_rows and "keep_id" in t.schema.names
+            if t.num_rows == 0 or "keep_id" not in t.schema.names:
+                return pa.table({"pk": pa.array([], type=pa.int64())})
+            ids = t.column("keep_id").to_numpy(zero_copy_only=False)
+            md5i = _md5_hex_prefix_i64(t.column("text_md5").to_pylist())
+            return pa.table({"pk": _keep_pair_key(ids, md5i).view(np.int64)})
+
+        pk_ds = groups.map_batches(to_pair_keys, batch_format="pyarrow")
+        # driver holds ONLY the packed key column: 8 bytes per kept row
+        pk_parts = [
+            t.column("pk").to_numpy(zero_copy_only=False)
+            for t in ray.get(pk_ds.to_arrow_refs()) if t.num_rows
         ]
-        keep = np.sort(np.concatenate(keep_parts)) if keep_parts else \
-            np.empty(0, dtype=np.int64)
+        keep = np.sort(np.concatenate(pk_parts).view(np.uint64)) if pk_parts \
+            else np.empty(0, dtype=np.uint64)
         keep_ref = ray.put(keep)
 
         def keep_filter(t: pa.Table, _ref=keep_ref) -> pa.Table:
@@ -110,42 +145,40 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
                 return t.slice(0, 0)
             ids = t.column(id_col).combine_chunks().to_numpy(
                 zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(k, ids), len(k) - 1)
-            return t.filter(pa.array(k[pos] == ids))
+            md5i = t.column("text_md5_i64").combine_chunks().to_numpy(
+                zero_copy_only=False)
+            pk = _keep_pair_key(ids, md5i)
+            pos = np.minimum(np.searchsorted(k, pk), len(k) - 1)
+            return t.filter(pa.array(k[pos] == pk))
 
         return ds_hashed.map_batches(keep_filter, batch_format="pyarrow")
-    # join fallback: bucketed join keys are int64, so join on the md5's
-    # 64-bit prefix and verify the FULL hash + keeper id after the merge
-    # (a 64-bit prefix collision must not adopt another group's keeper)
+    # join fallback: join on the md5-prefix int64 carried by md5_batch
+    # (no extra pass over the corpus), verify FULL hash + keeper id
+    # after the merge (a 64-bit prefix collision must not adopt another
+    # group's keeper)
     from .joins import bucketed_hash_join
 
-    def _md5_int(t: pa.Table, col_out: str) -> pa.Table:
-        h = np.array(
-            [int(x[:16], 16) - (1 << 63) for x in t.column("text_md5").to_pylist()],
-            dtype=np.int64)
-        return t.append_column(col_out, pa.array(h))
-
-    rows = ds_hashed.map_batches(lambda t: _md5_int(t, "md5_int"),
-                                 batch_format="pyarrow")
     _KEEPS_SCHEMA = pa.schema([pa.field("keep_md5", pa.string()),
                                pa.field("keep_id", pa.int64()),
-                               pa.field("md5_int", pa.int64())])
+                               pa.field("text_md5_i64", pa.int64())])
 
     def _keeps_batch(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "keep_id" not in t.schema.names:
             return _KEEPS_SCHEMA.empty_table()
-        return _md5_int(t.select(["text_md5", "keep_id"]), "md5_int") \
-            .rename_columns(["keep_md5", "keep_id", "md5_int"])
+        md5i = _md5_hex_prefix_i64(t.column("text_md5").to_pylist())
+        return pa.table({"keep_md5": t.column("text_md5"),
+                         "keep_id": t.column("keep_id"),
+                         "text_md5_i64": pa.array(md5i)})
 
     keeps = groups.map_batches(_keeps_batch, batch_format="pyarrow")
-    joined = bucketed_hash_join(rows, keeps, "md5_int")
+    joined = bucketed_hash_join(ds_hashed, keeps, "text_md5_i64")
 
     def only_kept(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         mask = pc.and_(pc.equal(t[id_col], t["keep_id"]),
                        pc.equal(t["text_md5"], t["keep_md5"]))
-        return t.filter(mask).drop_columns(["keep_id", "keep_md5", "md5_int"])
+        return t.filter(mask).drop_columns(["keep_id", "keep_md5"])
 
     return joined.map_batches(only_kept, batch_format="pyarrow")
 

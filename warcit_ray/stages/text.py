@@ -188,11 +188,17 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Content hash column (lowercase hex md5 — comparable to DuckDB's
-    md5())."""
-    hs = pa.array(
-        [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-         for t in batch.column(text_col).to_pylist()],
-        type=pa.string(),
-    )
-    return batch.append_column("text_md5", hs)
+    """Content hash columns: ``text_md5`` (lowercase hex — comparable
+    to DuckDB's md5()) and ``text_md5_i64`` (the digest's first 8 bytes
+    as a signed big-endian int64 — an integer join/partition key
+    computed inside the same intrinsic per-row hash loop, so no second
+    pass is ever needed to derive it)."""
+    hexes = []
+    i64s = np.empty(batch.num_rows, dtype=np.int64)
+    for i, t in enumerate(batch.column(text_col).to_pylist()):
+        d = hashlib.md5((t or "").encode("utf-8")).digest()
+        hexes.append(d.hex())
+        i64s[i] = int.from_bytes(d[:8], "big") - (1 << 63)
+    return batch.append_column(
+        "text_md5", pa.array(hexes, type=pa.string())
+    ).append_column("text_md5_i64", pa.array(i64s))
