@@ -934,7 +934,10 @@ def _docs_with_near_dups(sf_dir: str):
     true positives to find at any scale."""
     import ray.data as rd
 
-    base = _rp(sf_dir, "documents", ["doc_id", "text"])
+    # explicit block count: the pruned two-column read of the (small)
+    # documents file would otherwise land in 1-2 blocks, capping every
+    # downstream actor pool (MinHasher/SimHasher) at 2 concurrent tasks
+    base = _rp(sf_dir, "documents", ["doc_id", "text"], blocks=16)
     head = _smallest_rows(base, "doc_id", 20)
     pert = head.copy()
     pert["doc_id"] = pert["doc_id"] + 1_000_000

@@ -558,7 +558,7 @@ def components_from_pairs(pairs: list[tuple]) -> list[tuple]:
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.8,
-                      id_col: str = "doc_id", concurrency: int = 2,
+                      id_col: str = "doc_id", concurrency: int | tuple = (2, 8),
                       bucket_cap: int = 256,
                       small_threshold: int = 2_000_000):
     """Full near-dup pipeline -> Dataset(doc_id, dup_of) for docs whose
@@ -787,7 +787,7 @@ def banded_hamming_pairs(ds, *, sig_col: str, id_col: str, max_hamming: int,
 
 
 def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
-                      concurrency: int = 2,
+                      concurrency: int | tuple = (2, 8),
                       small_threshold: int = 2_000_000) -> pd.DataFrame:
     """SimHash near-dup pairs, fully distributed (see
     banded_hamming_pairs for the banding + verify discipline)."""
@@ -867,7 +867,7 @@ def _blocked_cosine_pairs(ids: np.ndarray, v: np.ndarray, threshold: float,
 def embedding_near_dups(ds, *, threshold: float = 0.95, id_col: str = "vec_id",
                         vec_col: str = "embedding", num_planes: int = 12,
                         seed: int = 5, bucket_cap: int = 4096,
-                        concurrency: int = 2) -> pd.DataFrame:
+                        concurrency: int | tuple = (2, 8)) -> pd.DataFrame:
     """Random-hyperplane LSH buckets + exact cosine verify within bucket.
     Returns (id_a, id_b, cosine) pairs with cosine >= threshold.
 
