@@ -152,12 +152,16 @@ def test_charset_scorer_not_a_whitelist():
     assert d("héllo wörld café résumé".encode()) == "UTF-8"
     assert d("don’t won’t can’t".encode()) == "UTF-8"
     assert d("这是一个测试文档，包含中文。".encode()) == "UTF-8"
-    # sparse (<=2) IN-WORD accented letters stay the single-byte guess —
-    # uchardet-fidelity: the reference golden itself is such a misread
-    # (a genuinely-UTF-8 page labeled windows-1258 on one in-word ’)
-    assert d("Report by Jürgen tomorrow".encode()) == "windows-1258"
-    assert d("café au lait for two please".encode()) == "windows-1258"
+    # ADVICE r3: plain accented Latin UTF-8 must stay UTF-8 — the
+    # positive evidence gate requires a 0x80-0x9F byte in the run
+    # (curly punctuation), which C3-xx accent pairs never have
+    assert d("Report by Jürgen tomorrow".encode()) == "UTF-8"
+    assert d("café au lait for two please".encode()) == "UTF-8"
+    assert d("naïve café".encode()) == "UTF-8"
     assert d("Jürgen und René über alles".encode()) == "UTF-8"  # 3 mb chars
+    # two curly quotes: cp125x-range evidence present but utf8_conf
+    # (0.7525 at n_mb=2) already beats the discounted SBCS score
+    assert d("it’s the user’s choice".encode()) == "UTF-8"
 
 
 # reader-shim tests moved to tests/test_readers.py

@@ -444,3 +444,30 @@ def test_ref_tier_promotion_to_dataset_equivalent(corpus):
     assert sorted(base["visit_log"]) == sorted(promoted["visit_log"])
     assert base["admitted"] == promoted["admitted"]
     assert base["seen"] == promoted["seen"]
+
+
+def test_surt_host_batch_parity():
+    """Vectorized host extraction (offer_batch hot path) is semantically
+    identical to the scalar surt_host on every URL shape."""
+    import pyarrow as pa
+
+    from warcit_ray.functions.urls import surt_host, surt_host_batch
+
+    urls = [
+        "http://h01.example/page/1",
+        "https://WWW.Example.COM/a/b",
+        "http://host.example",                 # no path
+        "http://host.example:8080/x",          # port -> fallback
+        "http://user:pw@host.example/x",       # userinfo -> fallback
+        "http://[2001:db8::1]/x",              # IPv6 -> fallback
+        "http://host_name.example/x",          # underscore -> fallback
+        "http://host.example./x",              # trailing dot
+        "file:///tmp/some/file.txt",
+        "zip://arch.zip!member/path",
+        "ftp://odd.example/x",
+        "not a url at all",
+        "",
+    ]
+    got = surt_host_batch(pa.array(urls, type=pa.string()))
+    want = [surt_host(u) for u in urls]
+    assert list(got) == want

@@ -33,13 +33,20 @@ Two detectors:
     uchardet's Vietnamese model is exactly why the reference golden
     says windows-1258 rather than windows-1252.
 
-  Net behavior: SPARSE in-word non-ascii — one curly quote (the iana
-  index.html shape) or up to two accented letters inside words — reads
-  as windows-1258, mirroring uchardet's documented weakness on sparse
+  * Positive word evidence only counts when the non-ascii byte run
+    contains a 0x80-0x9F byte — the range where cp125x differs from
+    latin-1 and where curly punctuation's UTF-8 encoding (E2 80 9x)
+    lands. Plain accented Latin UTF-8 ('naïve café', C3 xx pairs)
+    carries no such byte and stays UTF-8 (ADVICE r3).
+
+  Net behavior: SPARSE in-word cp125x-range evidence — one or two
+  curly quotes inside words (the iana index.html shape) — reads as
+  windows-1258, mirroring uchardet's documented weakness on sparse
   multibyte evidence (the reference golden IS such a misread: real
   cchardet labels a UTF-8 page windows-1258 on one ’). Non-ascii with
-  no word adjacency (print.css), or >=3 multibyte chars, reads as
-  UTF-8; >=6 short-circuits to UTF-8 before any SBCS decode.
+  no word adjacency (print.css), accented-Latin-only evidence, or >=3
+  multibyte chars read as UTF-8; >=6 short-circuits to UTF-8 before
+  any SBCS decode.
   Byte streams that are NOT valid UTF-8 are scored against the
   windows-125x / latin-1 codepages by decoded-character plausibility
   (letter/space/punct ratio).
@@ -139,13 +146,37 @@ def detect_charset_cchardet(payload: bytes) -> str:
     return best
 
 
+def _run_has_cp125x_lead(payload: bytes, i: int) -> bool:
+    """True iff the maximal non-ascii byte RUN containing position ``i``
+    includes a byte in 0x80-0x9F — the range where the windows-125x
+    codepages differ from latin-1 (curly punctuation: U+2018/19/1C/1D
+    encode in UTF-8 as E2 80 9x). Plain accented Latin (C3 8x-BF pairs
+    decode the second byte >= 0xA0) never has one, so valid UTF-8 with
+    ordinary diacritics ('naïve café') cannot flip to windows-1258; only
+    the golden curly-punctuation shape carries this positive evidence."""
+    lo = i
+    while lo > 0 and payload[lo - 1] >= 0x80:
+        lo -= 1
+    hi = i
+    n = len(payload)
+    while hi + 1 < n and payload[hi + 1] >= 0x80:
+        hi += 1
+    return any(0x80 <= payload[j] <= 0x9F for j in range(lo, hi + 1))
+
+
 def _sbcs_confidence(payload: bytes, encoding: str) -> float:
     """Single-byte-reading confidence from a micro sequence model over
     the DECODED non-ascii characters (module docstring): in-word
     letters are positive evidence, floating symbols are not, control /
     unmappable decodes discount. Only the non-ascii positions are
     scanned (regex at C speed) — the ASCII bulk reads identically
-    under every candidate and carries no signal between them."""
+    under every candidate and carries no signal between them.
+
+    Positive evidence additionally requires the byte run to include a
+    0x80-0x9F byte (``_run_has_cp125x_lead``): the golden windows-1258
+    shape is cp125x-specific punctuation misread as in-word letters, and
+    without this gate any two in-word accented UTF-8 letters would
+    out-score the sparse-evidence UTF-8 confidence (ADVICE r3)."""
     try:
         text = payload.decode(encoding)
     except (UnicodeDecodeError, LookupError):
@@ -161,7 +192,7 @@ def _sbcs_confidence(payload: bytes, encoding: str) -> float:
         elif cat[0] == "L" and (
             (i > 0 and text[i - 1].isalpha())
             or (i + 1 < n and text[i + 1].isalpha())
-        ):
+        ) and _run_has_cp125x_lead(payload, i):
             pos += 1
             if ch in _VIET_LETTERS:
                 viet += 1

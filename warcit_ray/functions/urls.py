@@ -186,6 +186,39 @@ def surt_host(url: str) -> str:
     return (h or "").lower()
 
 
+def surt_host_batch(col) -> np.ndarray:
+    """Vectorized :func:`surt_host` over a URL column (object ndarray
+    out). The common ``http(s)://simplehost/...`` shape runs entirely in
+    Arrow kernels — scheme strip, cut at first '/', lowercase, regex
+    validate — so no Python executes per row; only rows outside the
+    simple shape (ports, userinfo, IPv6, pseudo-URLs) fall back to the
+    scalar function, which keeps the two paths semantically identical
+    (parity-tested in tests/test_crawl.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    http = pc.starts_with(col, pattern="http://")
+    https = pc.starts_with(col, pattern="https://")
+    rest = pc.if_else(https, pc.utf8_slice_codeunits(col, 8),
+                      pc.utf8_slice_codeunits(col, 7))
+    host = pc.list_element(pc.split_pattern(rest, "/", max_splits=1), 0)
+    hostl = pc.utf8_lower(host)
+    simple = pc.and_(
+        pc.or_(http, https),
+        pc.and_(pc.not_equal(hostl, ""),
+                pc.match_substring_regex(hostl, r"^[a-z0-9.\-]+$")))
+    out = np.asarray(hostl.to_pylist(), dtype=object)
+    mask = simple.to_numpy(zero_copy_only=False)
+    if not mask.all():
+        idx = np.nonzero(~mask)[0]
+        urls = col.take(pa.array(idx)).to_pylist()
+        for i, u in zip(idx, urls):
+            out[i] = surt_host(u)
+    return out
+
+
 def surt_hash64(s: str) -> int:
     """Stable 64-bit hash of a SURT string (blake2b-8; content-stable
     across processes, unlike Python's salted hash())."""

@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 
 from ..codecs import MIME_BY_FMT
 from ..functions.digests import record_id, sha1_b32
-from ..functions.urls import surt, surt_hash64_batch, surt_host
+from ..functions.urls import surt, surt_hash64_batch, surt_host, surt_host_batch
 from ..state.shards import HostShardState, SeenShardState
 
 FRONTIER_SCHEMA = pa.schema(
@@ -181,8 +181,14 @@ def offer_batch(batch: pa.Table, host_actors, top_per_host: int | None = None) -
     if batch.num_rows == 0:
         return pa.table({"offered": pa.array([], type=pa.int64())})
     n = len(host_actors)
-    urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
-    hosts = np.asarray([surt_host(u) for u in urls], dtype=object)
+    url_col = batch.column("url")
+    if isinstance(url_col, pa.ChunkedArray):
+        url_col = url_col.combine_chunks()
+    urls = np.asarray(url_col.to_pylist(), dtype=object)
+    # vectorized host extraction: Arrow kernels parse the whole column
+    # (URLs here are already distinct post-probe, so the remaining
+    # interpreter cost WAS the per-row surt_host calls — VERDICT r3 #5)
+    hosts = surt_host_batch(url_col)
     pris = batch.column("priority").combine_chunks().to_numpy()
     seqs = batch.column("seq").combine_chunks().to_numpy()
     keys = np.asarray(batch.column("payload_key").to_pylist(), dtype=object)

@@ -214,13 +214,18 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
             with open(pmeta) as fh:
                 old = json.load(fh)
             n_old = sum(1 for s in seqs if s <= old["max_seq"])
-            prefix = serialize_batch(g.slice(0, n_old), gzip_members)
-            if hashlib.sha256(prefix).hexdigest() != old["sha256"]:
-                raise ValueError(
-                    "%s: rows for already-written seq range <= %d differ "
-                    "from the on-disk part (changed input or shifted walk "
-                    "order) — refusing to append; use mode='wb' to rewrite"
-                    % (name, old["max_seq"]))
+            # delta-only rerun (every supplied row is new, seq > recorded
+            # max_seq): there is no overlapping prefix to verify — the
+            # empty-prefix digest would spuriously mismatch the stored
+            # full-part digest. Skip the check and go straight to append.
+            if n_old:
+                prefix = serialize_batch(g.slice(0, n_old), gzip_members)
+                if hashlib.sha256(prefix).hexdigest() != old["sha256"]:
+                    raise ValueError(
+                        "%s: rows for already-written seq range <= %d differ "
+                        "from the on-disk part (changed input or shifted walk "
+                        "order) — refusing to append; use mode='wb' to rewrite"
+                        % (name, old["max_seq"]))
             if n_old < g.num_rows:  # genuinely new higher-seq rows: append
                 tail = serialize_batch(g.slice(n_old), gzip_members)
                 with open(name, "rb") as fh:

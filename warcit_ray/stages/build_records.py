@@ -164,7 +164,7 @@ class RecordBuilder:
             warc_date = modified_iso
 
         digest = sha1_b32(payload)
-        rid = record_id(url, warc_date, "", record_type, seq)
+        rid = record_id(url, warc_date, digest, record_type, seq)
         self._new_row(
             out,
             seq=seq,
@@ -230,7 +230,8 @@ class RecordBuilder:
                     self.conversions.get(url, []), orig_mime).encode("utf-8")
             warc_date = timestamp_to_iso_date(contain_ts)
             embeds_url = "urn:embeds:" + contain_url
-            rid = record_id(embeds_url, warc_date, "", "resource", seq)
+            digest = sha1_b32(content)
+            rid = record_id(embeds_url, warc_date, digest, "resource", seq)
             self._new_row(
                 out,
                 seq=seq,
@@ -311,7 +312,8 @@ def warcinfo_row(cfg: WarcitConfig) -> pa.Table:
     ]
     content = "".join("%s: %s\r\n" % kv for kv in fields).encode("utf-8")
     out: dict = {name: [] for name in WARC_SCHEMA.names}
-    rid = record_id(cfg.name, cfg.creation_date, "", "warcinfo", -1)
+    rid = record_id(cfg.name, cfg.creation_date, sha1_b32(content),
+                    "warcinfo", -1)
     for name in WARC_SCHEMA.names:
         out[name].append(None)
     row = dict(

@@ -108,7 +108,16 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
     join of the rows against the keep pairs on the md5-prefix int key
     (one corpus shuffle — the honest cost when even the key set
     outgrows broadcast), verifying full hash + keeper id after the
-    merge."""
+    merge.
+
+    PRECONDITION: ``id_col`` values are unique across the input (true
+    for every engine-generated table; documented for cli_clean over
+    arbitrary parquet). Exact duplicate ROWS — same id AND same text —
+    would each match the keeper pair key; a cheap within-batch pair
+    dedup below drops same-batch copies, but copies of one (id, text)
+    row split across blocks require the unique-id precondition (the
+    global pass would be a second shuffle for a non-occurring input
+    shape)."""
     import ray
 
     # materialized: consumed twice (count + block refs) — an
@@ -149,7 +158,13 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
                 zero_copy_only=False)
             pk = _keep_pair_key(ids, md5i)
             pos = np.minimum(np.searchsorted(k, pk), len(k) - 1)
-            return t.filter(pa.array(k[pos] == pk))
+            keep_mask = k[pos] == pk
+            # within-batch pair dedup: exact duplicate (id, text) rows in
+            # one block keep only their first copy (see precondition note)
+            _, first_idx = np.unique(pk, return_index=True)
+            first_mask = np.zeros(len(pk), dtype=bool)
+            first_mask[first_idx] = True
+            return t.filter(pa.array(keep_mask & first_mask))
 
         return ds_hashed.map_batches(keep_filter, batch_format="pyarrow")
     # join fallback: join on the md5-prefix int64 carried by md5_batch
@@ -178,7 +193,16 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
 
         mask = pc.and_(pc.equal(t[id_col], t["keep_id"]),
                        pc.equal(t["text_md5"], t["keep_md5"]))
-        return t.filter(mask).drop_columns(["keep_id", "keep_md5"])
+        t = t.filter(mask).drop_columns(["keep_id", "keep_md5"])
+        # within-batch pair dedup (same rule as the broadcast tier)
+        ids = t.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+        md5i = t.column("text_md5_i64").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        pk = _keep_pair_key(ids, md5i)
+        _, first_idx = np.unique(pk, return_index=True)
+        if len(first_idx) == len(pk):
+            return t
+        return t.take(pa.array(np.sort(first_idx)))
 
     return joined.map_batches(only_kept, batch_format="pyarrow")
 

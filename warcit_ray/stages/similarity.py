@@ -183,9 +183,29 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, *, n_clusters: int = 16,
     the partitioning key a cluster deployment would co-locate on."""
     import ray
 
+    # hash-spread centroid sample: a plain limit(sample_rows) sees only
+    # the first blocks (first-id-range bias); instead every block keeps
+    # ids whose splitmix64 hash falls in a 1/stride slice, so the
+    # sample covers the whole id range regardless of block order
+    n_total = ds.count()
+    stride = max(1, n_total // sample_rows)
+
+    def spread_pick(t: pa.Table) -> pa.Table:
+        from ..stages.dedup import _splitmix64
+
+        ids = t.column(id_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = (_splitmix64(ids.view(np.uint64)) % np.uint64(stride)) == 0
+        return t.filter(pa.array(keep))
+
     sample = np.asarray(
-        ds.limit(sample_rows).to_pandas()[vec_col].tolist(), dtype=np.float32
+        ds.map_batches(spread_pick, batch_format="pyarrow")
+        .limit(sample_rows).to_pandas()[vec_col].tolist(), dtype=np.float32
     )
+    if len(sample) == 0:  # degenerate hash slice: fall back to head sample
+        sample = np.asarray(
+            ds.limit(sample_rows).to_pandas()[vec_col].tolist(),
+            dtype=np.float32)
     centroids = kmeans_lite(sample, n_clusters)
     c_ref = ray.put(centroids)
     q = _normalize(np.asarray(queries, dtype=np.float32))
