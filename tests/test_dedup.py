@@ -259,3 +259,55 @@ def test_fingerprint_is_true_horner():
               for _ in range(50)]
     for t in cases:
         assert fingerprint(t) == ref_fp(t)
+
+
+def test_minhash_batched_matches_per_doc():
+    """VERDICT r3 #2: the batched signature path (flat concat + slabbed
+    affine + segment reduceat-min) is byte-identical to the per-doc
+    signature() construction, including empty / short / repeated docs
+    and across slab boundaries."""
+    from warcit_ray.stages.dedup import MinHasher
+
+    texts = (
+        ["alpha beta gamma delta %d epsilon" % i for i in range(30)]
+        + ["", "solo", "two words", "alpha beta gamma delta 0 epsilon"]
+        + ["repeat " * 200 + "tail%d" % i for i in range(3)]
+    )
+    mh = MinHasher(num_perm=64, shingle_k=3)
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)})
+    out = mh(batch)
+    got = np.asarray(out.column("minhash").to_pylist(), dtype=np.int64)
+    ref = MinHasher(num_perm=64, shingle_k=3)
+    want = np.stack([ref.signature(t).view(np.int64) for t in texts])
+    assert (got == want).all()
+    # tiny slab forces multi-slab stitching on the same batch
+    mh2 = MinHasher(num_perm=64, shingle_k=3)
+    mh2._SHINGLE_SLAB = 16
+    got2 = np.asarray(mh2(batch).column("minhash").to_pylist(), dtype=np.int64)
+    assert (got2 == want).all()
+
+
+def test_lsh_band_rows_vectorized_semantics():
+    """Band keys: equal band chunks collide, any differing chunk value
+    separates (splitmix64 chain), and the row layout is doc-major with
+    num_bands rows per doc."""
+    from warcit_ray.stages.dedup import MinHasher, lsh_band_rows
+
+    mh = MinHasher(num_perm=64, shingle_k=3)
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["same text here okay fine", 
+                          "same text here okay fine",
+                          "entirely different words apply now"]),
+    })
+    bands = lsh_band_rows(mh(batch), num_bands=16)
+    assert bands.num_rows == 48
+    df = bands.to_pandas()
+    assert (df["doc_id"].to_numpy() == np.repeat([1, 2, 3], 16)).all()
+    k1 = df[df["doc_id"] == 1]["bkey"].to_numpy()
+    k2 = df[df["doc_id"] == 2]["bkey"].to_numpy()
+    k3 = df[df["doc_id"] == 3]["bkey"].to_numpy()
+    assert (k1 == k2).all()            # identical sigs -> identical keys
+    assert (k1 != k3).all()            # disjoint shingles -> no collision
+    assert (df["bkey"] >= 0).all()     # 63-bit non-negative keys
