@@ -73,7 +73,7 @@ def main(args=None) -> int:
     name = _make_name(r.name, r.inputs, gzip_on)
 
     from .config import WarcitConfig
-    from .pipelines.warc_build import build_warc_dataset, logfile_table
+    from .pipelines.warc_build import build_warc_dataset, write_logfile_csv
     from .sinks.warc_sink import write_warc_file, write_warc_shards
     from .sources.sidetables import (
         load_conversion_results,
@@ -125,9 +125,8 @@ def main(args=None) -> int:
         else:
             n = write_warc_file(ds, name, mode=mode, gzip_members=gzip_on)
         if r.logfile:
-            import pyarrow.csv as pacsv
-
-            pacsv.write_csv(logfile_table(ds), r.logfile)
+            # streamed (one batch on the driver), not a full collect
+            write_logfile_csv(ds, r.logfile)
         if not r.quiet:
             print("Wrote %d resources to %s" % (n - (1 if cfg.warcinfo else 0), name))
         return 0

@@ -14,6 +14,8 @@ Reference lifecycle reproduced (warcit.py:395-448) as:
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 
 from ..config import WarcitConfig
@@ -47,28 +49,134 @@ def build_warc_dataset(cfg: WarcitConfig, *, payload_concurrency: int = 4,
     return ds
 
 
-def logfile_table(records_ds) -> "pa.Table":
-    """The CSV logfile projection (warcit.py:316-330): fixed 7 columns,
-    one row per written record except warcinfo, in seq order."""
+LOGFILE_COLUMNS = ["file", "Record-Type", "URL", "timestamp",
+                   "Content-Type", "mime", "charset"]
+
+
+def logfile_dataset(records_ds):
+    """The CSV logfile projection (warcit.py:316-330) as a DISTRIBUTED
+    Dataset: fixed 7 columns plus the ``seq`` ordering key, one row per
+    written record except warcinfo. The projection runs inside
+    map_batches — the full table never lands on the driver (VERDICT r3
+    #2: at 10^10 records the K3 log is corpus-sized). Consume with
+    :func:`write_logfile_shards` (sharded, resumable), stream with
+    :func:`write_logfile_csv` (single file, one batch in memory), or
+    small-collect with :func:`logfile_table` (fixture/test scale)."""
     cols = ["seq", "log_file", "record_type", "target_uri", "warc_date",
             "content_type", "mime", "charset"]
-    t = (
-        records_ds.select_columns(cols)
-        .sort("seq")
+
+    def project(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["record_type"] != "warcinfo"]
+        # revisit/metadata rows only log file/type/url/timestamp
+        # (warcit.py:558-566,609-618)
+        meta_mask = df["record_type"].isin(["revisit"]) | df["log_file"].eq("-")
+        for col in ("content_type", "mime", "charset"):
+            df.loc[meta_mask, col] = ""
+        df = df.rename(columns={
+            "log_file": "file", "record_type": "Record-Type",
+            "target_uri": "URL", "warc_date": "timestamp",
+            "content_type": "Content-Type",
+        })
+        return pa.Table.from_pandas(df[["seq"] + LOGFILE_COLUMNS]
+                                    .reset_index(drop=True),
+                                    preserve_index=False)
+
+    return records_ds.select_columns(cols).map_batches(
+        project, batch_format="pyarrow")
+
+
+def logfile_table(records_ds) -> "pa.Table":
+    """Small-collect convenience over :func:`logfile_dataset` (CLI
+    single-file mode and the fixture oracle query): sorts by seq and
+    drops the key. Collects on the driver — test/fixture scale only;
+    the scale path is :func:`write_logfile_shards`."""
+    t = logfile_dataset(records_ds).sort("seq").to_pandas()
+    return pa.Table.from_pandas(t.drop(columns=["seq"]).reset_index(drop=True),
+                                preserve_index=False)
+
+
+def write_logfile_csv(records_ds, path: str) -> int:
+    """Stream the logfile projection into ONE CSV in seq order
+    (DictWriter-parity: QUOTE_MINIMAL, CRLF — warcit.py:316-330). The
+    driver holds one batch at a time (same discipline as
+    write_warc_file). Returns the row count."""
+    import csv
+
+    n = 0
+    with open(path, "w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(LOGFILE_COLUMNS)
+        for batch in logfile_dataset(records_ds).sort("seq").iter_batches(
+                batch_size=4096, batch_format="pandas"):
+            w.writerows(batch[LOGFILE_COLUMNS].itertuples(index=False,
+                                                          name=None))
+            n += len(batch)
+    return n
+
+
+_LOG_SEQ_BIAS = 1 << 32
+
+
+def write_logfile_shards(records_ds, out_dir: str,
+                         rows_per_shard: int = 65536) -> list:
+    """Distributed sharded K3 sink with DETERMINISTIC shard boundaries
+    (the write_warc_shards discipline, warc_sink.py): rows partition on
+    fixed seq ranges, each part ``part-<shard:020d>.csv`` (header + rows
+    in seq order) written atomically via tmp+rename; lexicographic
+    filename order == record order. A rerun reproduces byte-identical
+    parts, so resume skips existing identical parts and raises on a
+    content mismatch instead of mis-skipping."""
+    import pyarrow.compute as pc
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        shard = pc.divide(
+            pc.add(pc.cast(t["seq"], pa.int64()), pa.scalar(_LOG_SEQ_BIAS)),
+            pa.scalar(int(rows_per_shard), type=pa.int64()))
+        return t.append_column("__shard", pc.cast(shard, pa.int64()))
+
+    def write_shard(g: "pd.DataFrame"):
+        import csv
+        import io
+
+        import pandas as pd  # noqa: F401 (batch_format)
+
+        if len(g) == 0:
+            return pd.DataFrame({"path": [], "records": []})
+        shard_id = int(g["__shard"].iloc[0])
+        g = g.sort_values("seq")
+        buf = io.StringIO()
+        w = csv.writer(buf)
+        w.writerow(LOGFILE_COLUMNS)
+        w.writerows(g[LOGFILE_COLUMNS].itertuples(index=False, name=None))
+        payload = buf.getvalue().encode("utf-8")
+        name = os.path.join(out_dir, "part-%020d.csv" % shard_id)
+        if os.path.exists(name):
+            with open(name, "rb") as fh:
+                if fh.read() == payload:
+                    return pd.DataFrame({"path": [name], "records": [len(g)]})
+            raise ValueError(
+                "%s exists with different content (changed input or walk "
+                "order) — refusing to overwrite on resume" % name)
+        tmp = name + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(payload)
+        os.replace(tmp, name)
+        return pd.DataFrame({"path": [name], "records": [len(g)]})
+
+    import pandas as pd  # noqa: F401
+
+    manifest = (
+        logfile_dataset(records_ds)
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(write_shard, batch_format="pandas")
         .to_pandas()
     )
-    t = t[t["record_type"] != "warcinfo"]
-    # revisit/metadata rows only log file/type/url/timestamp (warcit.py:558-566,609-618)
-    meta_mask = t["record_type"].isin(["revisit"]) | t["log_file"].eq("-")
-    for col in ("content_type", "mime", "charset"):
-        t.loc[meta_mask, col] = ""
-    t = t.drop(columns=["seq"]).rename(
-        columns={
-            "log_file": "file", "record_type": "Record-Type", "target_uri": "URL",
-            "warc_date": "timestamp", "content_type": "Content-Type",
-        }
-    )
-    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+    return sorted(manifest["path"].tolist())
 
 
 def run_warcit(cfg: WarcitConfig, output_path: str | None = None, mode: str = "xb",
