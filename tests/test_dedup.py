@@ -311,3 +311,36 @@ def test_lsh_band_rows_vectorized_semantics():
     assert (k1 == k2).all()            # identical sigs -> identical keys
     assert (k1 != k3).all()            # disjoint shingles -> no collision
     assert (df["bkey"] >= 0).all()     # 63-bit non-negative keys
+
+
+def test_filter_out_ids_tier_equivalence(ray_session):
+    """VERDICT r3 #5: the near-dup drop filter's two tiers — broadcast
+    searchsorted vs bucketed anti-join — keep exactly the same rows."""
+    from warcit_ray.stages.dedup import filter_out_ids
+
+    docs = rd.from_items([{"doc_id": i, "text": "doc %d text" % i}
+                          for i in range(200)])
+    drop = rd.from_items([{"doc_id": i} for i in range(0, 200, 7)])
+    a = filter_out_ids(docs, drop, "doc_id",
+                       broadcast_threshold=10**9).to_pandas()
+    b = filter_out_ids(docs, drop, "doc_id",
+                       broadcast_threshold=0).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 200 - len(range(0, 200, 7))
+    assert not a["doc_id"].isin(set(range(0, 200, 7))).any()
+    # empty drop set: pass-through
+    empty = rd.from_items([])
+    c = filter_out_ids(docs, empty, "doc_id").to_pandas()
+    assert len(c) == 200
+
+
+def test_clean_corpus_drop_tiers_equivalent(ray_session):
+    """clean_corpus with the near-dup drop forced through the bucketed
+    anti-join tier matches the broadcast tier on the planted corpus."""
+    from warcit_ray.pipelines.queries import clean_corpus
+
+    a = clean_corpus("/root/testdata/sf0.001")
+    b = clean_corpus("/root/testdata/sf0.001", drop_broadcast_threshold=0)
+    pd.testing.assert_frame_equal(a, b)

@@ -57,7 +57,6 @@ def clean(ns) -> dict:
     n_in = ds.count()
     kept = distinct_rows(ds, id_col=ns.id_col, text_col=ns.text_col)
 
-    drop = frozenset()
     n_near = 0
     if ns.near_dup:
         from warcit_ray.stages.dedup import minhash_lsh_dedup
@@ -74,18 +73,19 @@ def clean(ns) -> dict:
                 batch_format="pyarrow")
         dup, _ = minhash_lsh_dedup(nd_ds, threshold=ns.near_dup_threshold,
                                    id_col=ns.id_col)
-        dup_df = dup.to_pandas()
-        if len(dup_df):
-            dup_col = ns.id_col if ns.id_col in dup_df.columns \
-                else dup_df.columns[0]
-            drop = frozenset(int(x) for x in dup_df[dup_col])
-        n_near = len(drop)
+        n_near = dup.count()
+        if n_near:
+            # size-gated anti-join (broadcast under threshold, bucketed
+            # join above): the drop set of a high-dup-rate corpus can be
+            # corpus-scale, so it must never be forced through a
+            # driver-side frozenset
+            from warcit_ray.stages.dedup import filter_out_ids
+
+            kept = filter_out_ids(kept, dup, ns.id_col)
 
     min_q = ns.min_quality
 
     def filter_score(df: pd.DataFrame) -> pd.DataFrame:
-        if drop:
-            df = df[~df[ns.id_col].isin(drop)]
         out = quality_score_batch(df, text_col=ns.text_col)
         return out[out["quality"] >= min_q]
 

@@ -1173,28 +1173,29 @@ def clean_corpus_exact(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "ws_tokens", "quality"]]
 
 
-def clean_corpus(sf_dir: str) -> pd.DataFrame:
-    """Full cleaning chain including the non-SQL ops: exact dedup ->
-    MinHash+LSH near-dup removal -> quality filter -> language ID ->
-    token counts. The near-dup removal side is tiny (the dup list),
-    so it broadcasts into a filter instead of shuffling the corpus."""
-    from ..stages.dedup import distinct_rows, minhash_lsh_dedup
+def clean_corpus(sf_dir: str, *,
+                 drop_broadcast_threshold: int = 50_000_000) -> pd.DataFrame:
+    """Full cleaning chain including the non-SQL-native ops: exact dedup
+    -> MinHash+LSH near-dup removal -> quality filter -> token counts ->
+    language ID. The near-dup drop set goes through the size-gated
+    ``filter_out_ids`` anti-join (broadcast under the threshold,
+    bucketed anti-join above — VERDICT r3 #3)."""
+    from ..stages.dedup import distinct_rows, filter_out_ids, minhash_lsh_dedup
     from ..stages.text import LangId, quality_score_batch, token_count_batch
 
     ds = _docs_with_near_dups(sf_dir)  # re-executable: consumed by both
     dup, _ = minhash_lsh_dedup(ds, threshold=0.5)
-    dup_df = dup.to_pandas()
-    drop = frozenset(int(x) for x in dup_df["doc_id"]) if len(dup_df) else frozenset()
 
     kept = distinct_rows(ds)
+    kept = filter_out_ids(kept, dup, "doc_id",
+                          broadcast_threshold=drop_broadcast_threshold)
 
-    def near_dup_and_quality(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[~df["doc_id"].isin(drop)]
+    def score_filter(df: pd.DataFrame) -> pd.DataFrame:
         out = quality_score_batch(df)
         return out[out["quality"] >= 0.5]
 
     cleaned = (
-        kept.map_batches(near_dup_and_quality, batch_format="pandas")
+        kept.map_batches(score_filter, batch_format="pandas")
         .map_batches(lambda t: token_count_batch(
             t.select(["doc_id", "text", "quality"])), batch_format="pyarrow")
         .map_batches(LangId, batch_format="pyarrow", concurrency=2)

@@ -207,6 +207,50 @@ def distinct_rows(ds, id_col: str = "doc_id", text_col: str = "text",
     return joined.map_batches(only_kept, batch_format="pyarrow")
 
 
+def filter_out_ids(ds, drop_ids_ds, id_col: str = "doc_id", *,
+                   broadcast_threshold: int = 50_000_000,
+                   num_buckets: int = 32):
+    """Anti-join: remove the rows whose id appears in ``drop_ids_ds``
+    (e.g. the near-dup drop list). Size-gated exactly like
+    ``distinct_rows`` (VERDICT r3 #3 — a 10^10-doc corpus with a high
+    dup rate makes the drop set itself corpus-scale):
+
+    - at or below ``broadcast_threshold`` ids: the sorted int64 id
+      array broadcasts (ray.put once, worker-process cached) into a
+      vectorized searchsorted filter — 8 bytes per dropped id on the
+      driver, no shuffle;
+    - above it: a bucketed anti-join (stages/joins.bucketed_anti_join)
+      keeps both sides distributed — the honest one-shuffle price when
+      even the id set outgrows broadcast."""
+    import ray
+
+    n_drop = drop_ids_ds.count()
+    if n_drop == 0:
+        return ds
+    ids_only = drop_ids_ds.select_columns([id_col])
+    if n_drop <= broadcast_threshold:
+        parts = [
+            t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in ray.get(ids_only.to_arrow_refs()) if t.num_rows
+        ]
+        drop = np.sort(np.concatenate(parts))
+        ref = ray.put(drop)
+
+        def keep(t: pa.Table, _ref=ref) -> pa.Table:
+            from .similarity import _resolve
+
+            d = _resolve(_ref)
+            ids = t.column(id_col).combine_chunks().to_numpy(
+                zero_copy_only=False).astype(np.int64, copy=False)
+            pos = np.minimum(np.searchsorted(d, ids), len(d) - 1)
+            return t.filter(pa.array(d[pos] != ids))
+
+        return ds.map_batches(keep, batch_format="pyarrow")
+    from .joins import bucketed_anti_join
+
+    return bucketed_anti_join(ds, ids_only, id_col, num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
@@ -730,7 +774,7 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
                     verified["id_b"].astype("int64")))
     rows = components_from_pairs(keep)
     dup = rd.from_items(
-        [{"doc_id": int(d), "dup_of": int(r)} for d, r in rows if d != r]
+        [{id_col: int(d), "dup_of": int(r)} for d, r in rows if d != r]
     )
     return dup, with_sig
 

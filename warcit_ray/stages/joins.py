@@ -64,6 +64,31 @@ def bucketed_hash_join(left, right, key: str, *, num_buckets: int = 32,
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def bucketed_anti_join(left, right_keys, key: str, *, num_buckets: int = 32):
+    """Rows of ``left`` whose ``key`` does NOT appear in ``right_keys``
+    (a Dataset carrying only the key column). Same one-shuffle bucketed
+    pattern as :func:`bucketed_hash_join`; the right side ships nothing
+    but keys. Caveat: inside a group, left-only numeric columns of the
+    concatenated frame may widen to float64 for the right-side rows'
+    nulls — the emitted left rows keep their values, but callers with
+    strict integer columns beyond ``key`` should cast on the way out
+    (the engine's callers carry only (id, text))."""
+    tagged = _with_bucket(left, key, num_buckets, 0).union(
+        _with_bucket(right_keys, key, num_buckets, 1)
+    )
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0].drop(columns=["__bucket", "__side"])
+        if len(l) == 0:
+            return l
+        r = group.loc[group["__side"] == 1, key]
+        if len(r):
+            l = l[~l[key].isin(set(r))]
+        return l
+
+    return tagged.groupby("__bucket").map_groups(anti, batch_format="pandas")
+
+
 def hash_join(left, right, key: str, *, num_partitions: int = 32,
               join_type: str = "inner"):
     """Ray Data native hash join (requires Dataset.join in this Ray)."""
