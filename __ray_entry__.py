@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q.ann_ivf,
         "clean_corpus_exact": q.clean_corpus_exact,
         "clean_corpus": q.clean_corpus,
+        "clean_corpus_near": q.clean_corpus_near,
         "repetition_scores": q.repetition_scores,
         # crawl + image pipelines (north rule; rows-only)
         "crawl_demo": q.crawl_demo,
@@ -489,6 +490,73 @@ def oracle_sql() -> dict[str, str]:
                                          / greatest(CAST(ws_tokens AS DOUBLE),
                                                     1)) * 4, 0), 1) * 0.3
                            AS quality
+                FROM f
+            )
+            SELECT doc_id, ws_tokens, round(quality, 6) AS quality
+            FROM q WHERE quality >= 0.5 ORDER BY doc_id
+        """,
+        "clean_corpus_near": """
+            -- clean_corpus_near oracle: corpus = documents + perturbed head-20
+            -- (doc_id+1e6, first token -> ZZZ); near-dup drop = connected
+            -- components of exact 3-token-shingle Jaccard >= 0.5 (the seeded LSH
+            -- provably finds exactly this set on this corpus); chain = exact dedup
+            -- (min doc_id per content hash) -> near-dup drop -> quality >= 0.5 ->
+            -- whitespace token counts.
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(coalesce(text, ''), '^\S+', 'ZZZ') AS text
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS sh
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), edges AS (
+                SELECT ida, idb FROM inter
+                JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+                WHERE m >= 0.5 * (sa.n + sb.n - m)
+            ), sym AS (
+                SELECT ida AS a, idb AS b FROM edges
+                UNION ALL SELECT idb, ida FROM edges
+            ), reach AS (
+                SELECT a AS id, a AS lbl FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+            ), drop_ids AS (
+                SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) < id
+            ), keep AS (
+                SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            ), t AS (
+                SELECT c.doc_id, c.text, string_split(c.text, ' ') AS toks
+                FROM corpus c JOIN keep k ON k.doc_id = c.doc_id
+                WHERE c.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+            ), f AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS ws_tokens,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_replace(text,
+                            '[\w \t\n\r\f\v]', '', 'g')) AS DOUBLE) AS punct,
+                       CAST(len(list_filter(toks, s -> lower(s) IN
+                            ('the','and','of','a','to','in','is','it',
+                             'that','for'))) AS DOUBLE) AS stop_hits
+                FROM t
+            ), q AS (
+                SELECT doc_id, ws_tokens,
+                       least(greatest(ws_tokens / 64.0, 0), 1) * 0.4
+                       + least(greatest(1 - (punct / greatest(n_chars, 1)) * 4, 0), 1) * 0.3
+                       + least(greatest((stop_hits / greatest(CAST(ws_tokens AS DOUBLE), 1))
+                                        * 4, 0), 1) * 0.3 AS quality
                 FROM f
             )
             SELECT doc_id, ws_tokens, round(quality, 6) AS quality

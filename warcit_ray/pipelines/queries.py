@@ -1173,13 +1173,8 @@ def clean_corpus_exact(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "ws_tokens", "quality"]]
 
 
-def clean_corpus(sf_dir: str, *,
-                 drop_broadcast_threshold: int = 50_000_000) -> pd.DataFrame:
-    """Full cleaning chain including the non-SQL-native ops: exact dedup
-    -> MinHash+LSH near-dup removal -> quality filter -> token counts ->
-    language ID. The near-dup drop set goes through the size-gated
-    ``filter_out_ids`` anti-join (broadcast under the threshold,
-    bucketed anti-join above — VERDICT r3 #3)."""
+def _clean_corpus_frame(sf_dir: str, *, with_lang: bool,
+                        drop_broadcast_threshold: int) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows, filter_out_ids, minhash_lsh_dedup
     from ..stages.text import LangId, quality_score_batch, token_count_batch
 
@@ -1198,11 +1193,42 @@ def clean_corpus(sf_dir: str, *,
         kept.map_batches(score_filter, batch_format="pandas")
         .map_batches(lambda t: token_count_batch(
             t.select(["doc_id", "text", "quality"])), batch_format="pyarrow")
-        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
     )
+    if with_lang:
+        cleaned = cleaned.map_batches(LangId, batch_format="pyarrow",
+                                      concurrency=2)
     out = cleaned.to_pandas().sort_values("doc_id").reset_index(drop=True)
     out["quality"] = out["quality"].round(6)
-    return out[["doc_id", "ws_tokens", "quality", "pred_lang"]]
+    cols = ["doc_id", "ws_tokens", "quality"] + (
+        ["pred_lang"] if with_lang else [])
+    return out[cols]
+
+
+def clean_corpus(sf_dir: str, *,
+                 drop_broadcast_threshold: int = 50_000_000) -> pd.DataFrame:
+    """Full cleaning chain including the non-SQL-native ops: exact dedup
+    -> MinHash+LSH near-dup removal -> quality filter -> token counts ->
+    language ID. The near-dup drop set goes through the size-gated
+    ``filter_out_ids`` anti-join (broadcast under the threshold,
+    bucketed anti-join above — VERDICT r3 #3)."""
+    return _clean_corpus_frame(
+        sf_dir, with_lang=True,
+        drop_broadcast_threshold=drop_broadcast_threshold)
+
+
+def clean_corpus_near(sf_dir: str) -> pd.DataFrame:
+    """The SQL-checkable projection of :func:`clean_corpus` (everything
+    but the LangId column): exact dedup -> MinHash+LSH near-dup removal
+    -> quality filter -> token counts, checked end to end by ONE chained
+    DuckDB oracle. The near-dup leg is oracle-able because the seeded
+    LSH's verified drop set provably equals the exact all-pairs
+    3-token-shingle-Jaccard >= 0.5 connected components on this corpus
+    (checked at sf0.001 AND sf0.01 against brute force — the same
+    determinism argument as embedding_near_dup's oracle), so the SQL
+    expresses the drop set exactly: string-shingle self-join Jaccard +
+    a recursive-CTE min-label connected-components pass."""
+    return _clean_corpus_frame(sf_dir, with_lang=False,
+                               drop_broadcast_threshold=50_000_000)
 
 
 def crawl_records(sf_dir: str) -> pd.DataFrame:
