@@ -882,7 +882,8 @@ def crawl(
             # the last generation but never offered resume as the frontier
             frontier = ckpt.load_next_frontier(last)
 
-    totals = {"admitted": 0, "offered": 0, "generations": 0}
+    totals = {"admitted": 0, "offered": 0, "generations": 0,
+              "gen_admits": []}
     visit_log: list[tuple] = []
     phase_times = {"probe_offer": 0.0, "admit": 0.0, "fetch": 0.0,
                    "explode": 0.0, "checkpoint": 0.0}
@@ -920,6 +921,19 @@ def crawl(
             return f.num_rows
         return f.count()
 
+    def table_as_blocks(table: pa.Table, rows_per_block: int):
+        """pa.Table -> multi-block Dataset. ``rd.from_arrow(table)``
+        makes ONE block, and a one-block Dataset runs its whole
+        map_batches as ONE task — a 586k-row generation entering the
+        Dataset tier through it serialized the entire fetch onto one
+        core (measured 28.7s vs 3.3s for the sliced version)."""
+        if table.num_rows <= rows_per_block:
+            return rd.from_arrow(table)
+        return rd.from_arrow([
+            table.slice(lo, rows_per_block)
+            for lo in range(0, table.num_rows, rows_per_block)
+        ])
+
     def dataset_to_refs(ds) -> list | None:
         # demote Dataset tier -> ref tier WITHOUT driver transit: block
         # refs + footer row counts from the ref bundles (no ray.get)
@@ -954,7 +968,7 @@ def crawl(
                 totals["offered"] += sum(ray.get(refs))
             elif isinstance(frontier, rd.Dataset) or frontier.num_rows > task_frontier:
                 fds = frontier if isinstance(frontier, rd.Dataset) \
-                    else rd.from_arrow(frontier)
+                    else table_as_blocks(frontier, batch_size)
                 offered = (
                     fds.map_batches(seen_probe_batch, fn_args=(seen_actors,),
                                     batch_size=batch_size, batch_format="pyarrow")
@@ -1023,6 +1037,7 @@ def crawl(
         admitted = body.add_column(
             0, "generation", pa.array([g] * n_admitted, type=pa.int64()))
         totals["admitted"] += n_admitted
+        totals["gen_admits"].append(n_admitted)
         totals["generations"] = g + 1
         if track_visits:
             for h, u in zip(body.column("host").to_pylist(),
@@ -1058,7 +1073,10 @@ def crawl(
                 if not next_frontier:
                     next_frontier = None
             else:
-                records = rd.from_arrow(admitted).map_batches(
+                # block-sliced entry: one task per ~4k-row block (each
+                # looping 256-row fetch batches), not one task for the
+                # whole generation
+                records = table_as_blocks(admitted, 4096).map_batches(
                     fetch_fn,
                     fn_args=fetch_args,
                     batch_size=256, batch_format="pyarrow",
