@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus_exact": q.clean_corpus_exact,
         "clean_corpus": q.clean_corpus,
         "clean_corpus_near": q.clean_corpus_near,
+        "components": q.components,
         "repetition_scores": q.repetition_scores,
         # crawl + image pipelines (north rule; rows-only)
         "crawl_demo": q.crawl_demo,
@@ -561,6 +562,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, ws_tokens, round(quality, 6) AS quality
             FROM q WHERE quality >= 0.5 ORDER BY doc_id
+        """,
+        "components": """
+            -- connected components of the exact shingle-Jaccard >= 0.5
+            -- pair graph (same corpus + edge CTEs as clean_corpus_near;
+            -- see its determinism argument): min reachable id per member
+            -- clean_corpus_near oracle: corpus = documents + perturbed head-20
+            -- (doc_id+1e6, first token -> ZZZ); near-dup drop = connected
+            -- components of exact 3-token-shingle Jaccard >= 0.5 (the seeded LSH
+            -- provably finds exactly this set on this corpus); chain = exact dedup
+            -- (min doc_id per content hash) -> near-dup drop -> quality >= 0.5 ->
+            -- whitespace token counts.
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(coalesce(text, ''), '^\S+', 'ZZZ') AS text
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS sh
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), edges AS (
+                SELECT ida, idb FROM inter
+                JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+                WHERE m >= 0.5 * (sa.n + sb.n - m)
+            ), sym AS (
+                SELECT ida AS a, idb AS b FROM edges
+                UNION ALL SELECT idb, ida FROM edges
+            ), reach AS (
+                SELECT a AS id, a AS lbl FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+            )
+            SELECT id AS member, min(lbl) AS component
+            FROM reach GROUP BY id ORDER BY member
         """,
         "fingerprints": """
             -- Horner rolling hash h = (h*B + byte+1) mod 2^61-1 over the

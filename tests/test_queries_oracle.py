@@ -86,7 +86,7 @@ def test_entry_smoke(entry_mod):
     "warcinfo_record", "logfile_rows", "rules_load", "transclusions_load",
     "embedding_near_dup", "quality_scores", "warc_digests_sha256",
     "fingerprints", "clean_corpus_exact", "repetition_scores",
-    "clean_corpus_near",
+    "clean_corpus_near", "components",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()

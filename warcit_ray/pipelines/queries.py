@@ -1231,6 +1231,29 @@ def clean_corpus_near(sf_dir: str) -> pd.DataFrame:
                                drop_broadcast_threshold=50_000_000)
 
 
+def components(sf_dir: str) -> pd.DataFrame:
+    """Connected components as a first-class operator: the verified
+    near-dup pair graph over the perturbed corpus (exactly the exact-
+    Jaccard >= 0.5 edge set — see clean_corpus_near's determinism
+    argument) fed through stages.components.connected_components.
+    Oracle: the same recursive min-label CTE over SQL-built shingle
+    Jaccard edges."""
+    import ray.data as rd
+
+    from ..stages.components import connected_components
+    from ..stages.dedup import near_dup_pairs
+
+    ds = _docs_with_near_dups(sf_dir)
+    verified, _ = near_dup_pairs(ds, threshold=0.5)
+    if len(verified) == 0:
+        return pd.DataFrame({"member": pd.Series([], dtype="int64"),
+                             "component": pd.Series([], dtype="int64")})
+    pairs = rd.from_pandas(verified[["id_a", "id_b"]])
+    comp = connected_components(pairs)
+    return comp.to_pandas().astype("int64").sort_values(
+        "member").reset_index(drop=True)
+
+
 def crawl_records(sf_dir: str) -> pd.DataFrame:
     """Flagship (north rule end to end): seed URLs through the sharded
     cuckoo seen-set, politeness token buckets, robots gating and the

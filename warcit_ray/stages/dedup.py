@@ -740,6 +740,32 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
     # stateless tasks over warm worker processes (see minhash_sig_batch):
     # the ``concurrency`` arg survives as a task cap for callers that
     # need to bound the stage
+    verified, with_sig = near_dup_pairs(
+        ds, num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
+        threshold=threshold, id_col=id_col, bucket_cap=bucket_cap,
+        small_threshold=small_threshold)
+    if len(verified) == 0:
+        return rd.from_items([]), with_sig
+    keep = list(zip(verified["id_a"].astype("int64"),
+                    verified["id_b"].astype("int64")))
+    rows = components_from_pairs(keep)
+    dup = rd.from_items(
+        [{id_col: int(d), "dup_of": int(r)} for d, r in rows if d != r]
+    )
+    return dup, with_sig
+
+
+def near_dup_pairs(ds, *, num_perm: int = 64, num_bands: int = 16,
+                   shingle_k: int = 3, threshold: float = 0.8,
+                   id_col: str = "doc_id", bucket_cap: int = 256,
+                   small_threshold: int = 2_000_000):
+    """The MinHash+LSH pipeline up to (and including) the exact-Jaccard
+    verify: returns (verified pairs DataFrame(id_a, id_b, jaccard),
+    with_sig Dataset). The verified pair list is the job's output-sized
+    result, so it lands on the driver; callers needing components feed
+    it to components_from_pairs / stages.components.connected_components."""
+    import ray.data as rd
+
     with_sig = ds.map_batches(
         minhash_sig_batch, fn_args=(num_perm, shingle_k),
         batch_format="pyarrow",
@@ -754,13 +780,16 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
         bands, "bkey", id_col, bucket_cap=bucket_cap,
         n_rows_hint=n_docs * num_bands, small_threshold=small_threshold,
     )
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
     if pairs is None:
-        return rd.from_items([]), with_sig
+        return empty, with_sig
 
     if small:
         pair_df = pairs.to_pandas()  # (id_a, id_b) only — small tier
         if len(pair_df) == 0:
-            return rd.from_items([]), with_sig
+            return empty, with_sig
         verified = _verify_jaccard_small(
             pair_df, ds, id_col=id_col, threshold=threshold,
             shingle_k=shingle_k)
@@ -768,15 +797,7 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
         verified = verify_jaccard_pairs(
             pairs, ds, id_col=id_col, threshold=threshold, shingle_k=shingle_k
         ).to_pandas()
-    if len(verified) == 0:
-        return rd.from_items([]), with_sig
-    keep = list(zip(verified["id_a"].astype("int64"),
-                    verified["id_b"].astype("int64")))
-    rows = components_from_pairs(keep)
-    dup = rd.from_items(
-        [{id_col: int(d), "dup_of": int(r)} for d, r in rows if d != r]
-    )
-    return dup, with_sig
+    return verified, with_sig
 
 
 # ---------------------------------------------------------------------------
