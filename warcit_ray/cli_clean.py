@@ -48,7 +48,7 @@ def clean(ns) -> dict:
 
     from warcit_ray.stages.dedup import distinct_rows
     from warcit_ray.stages.text import (
-        LangId,
+        lang_id_batch,
         quality_score_batch,
         token_count_batch,
     )
@@ -98,8 +98,7 @@ def clean(ns) -> dict:
             batch_format="pyarrow")
     )
     if ns.lang:
-        cleaned = cleaned.map_batches(LangId, batch_format="pyarrow",
-                                      concurrency=2)
+        cleaned = cleaned.map_batches(lang_id_batch, batch_format="pyarrow")
     cleaned.write_parquet(ns.out)
 
     import glob

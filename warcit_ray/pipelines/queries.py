@@ -875,11 +875,11 @@ def embedding_topk(sf_dir: str, k: int = 10, n_queries: int = 5) -> pd.DataFrame
 
 
 def lang_id(sf_dir: str) -> pd.DataFrame:
-    from ..stages.text import LangId
+    from ..stages.text import lang_id_batch
 
     out = (
         _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
-        .map_batches(LangId, batch_format="pyarrow", concurrency=2)
+        .map_batches(lang_id_batch, batch_format="pyarrow")
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     return out[["doc_id", "lang", "pred_lang"]]
@@ -1176,7 +1176,7 @@ def clean_corpus_exact(sf_dir: str) -> pd.DataFrame:
 def _clean_corpus_frame(sf_dir: str, *, with_lang: bool,
                         drop_broadcast_threshold: int) -> pd.DataFrame:
     from ..stages.dedup import distinct_rows, filter_out_ids, minhash_lsh_dedup
-    from ..stages.text import LangId, quality_score_batch, token_count_batch
+    from ..stages.text import lang_id_batch, quality_score_batch, token_count_batch
 
     ds = _docs_with_near_dups(sf_dir)  # re-executable: consumed by both
     dup, _ = minhash_lsh_dedup(ds, threshold=0.5)
@@ -1195,8 +1195,7 @@ def _clean_corpus_frame(sf_dir: str, *, with_lang: bool,
             t.select(["doc_id", "text", "quality"])), batch_format="pyarrow")
     )
     if with_lang:
-        cleaned = cleaned.map_batches(LangId, batch_format="pyarrow",
-                                      concurrency=2)
+        cleaned = cleaned.map_batches(lang_id_batch, batch_format="pyarrow")
     out = cleaned.to_pandas().sort_values("doc_id").reset_index(drop=True)
     out["quality"] = out["quality"].round(6)
     cols = ["doc_id", "ws_tokens", "quality"] + (

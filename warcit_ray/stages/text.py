@@ -127,6 +127,20 @@ class LangId:
         return batch.append_column("pred_lang", pa.array(preds, type=pa.string()))
 
 
+# worker-process LangId cache: the stopword tables + compiled regex live
+# for the worker's lifetime and are shared across batches AND pipeline
+# invocations — a per-invocation actor pool pays ~1.5 s of actor startup
+# every call, which dominated the lang stage of small queries (same
+# stateless-task reasoning as dedup.minhash_sig_batch)
+_LANGID_CACHE: list = []
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    if not _LANGID_CACHE:
+        _LANGID_CACHE.append(LangId())
+    return _LANGID_CACHE[0](batch)
+
+
 _FP_MOD = (1 << 61) - 1
 _FP_BASE = 1_000_003
 _FP_CHUNK = 1 << 16
