@@ -255,7 +255,12 @@ def run_bench() -> dict:
     # recorded time per pipeline is the minimum (its sustained
     # capability on this box), every raw timing is reported, and the
     # headline value is the sum of the per-pipeline minima.
-    reps = int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+    reps = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+    # single-thread host-speed probe (min of 3): the same fixed
+    # numpy/zlib/sha1 workload every run, so any recorded bench can be
+    # normalized for the shared host's weather (observed 25-100%
+    # wall-time swings between identical runs hours apart)
+    calib = min(_timed_ceiling_work() for _ in range(3))
     raw: dict[str, list] = {}
     for rep in range(reps):
         r: dict = {}
@@ -281,6 +286,7 @@ def run_bench() -> dict:
         "queries": results,
         "raw_secs": raw,
         "reps": reps,
+        "host_calib_sec": round(calib, 3),
         "wall_sec": round(time.time() - t0, 3),
         "throughput": thr,
         "sf": _sf(),
@@ -433,6 +439,12 @@ def run_frontier_1m() -> dict:
     }
     ray.shutdown()
     return out
+
+
+def _timed_ceiling_work() -> float:
+    t = time.time()
+    _ceiling_work(0)
+    return time.time() - t
 
 
 def _ceiling_work(seed: int) -> int:
