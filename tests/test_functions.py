@@ -121,3 +121,35 @@ def test_surt_and_host():
 
 def test_url_dirname_index():
     assert url_dirname_index("http://x/a/index.html") == "http://x/a/"
+
+
+def test_surt_batch_parity():
+    """surt_batch's Arrow fast path + scalar fallback == scalar surt on
+    every URL shape the engine routes (simple, ports, userinfo, query,
+    fragment, pseudo-URLs, trailing dots, case, no-path, odd chars)."""
+    import pyarrow as pa
+
+    from warcit_ray.functions.urls import surt, surt_batch
+
+    urls = [
+        "http://h07.example/img/img00000007",
+        "https://h1757.example/private/img00001757",
+        "http://WWW.Example.com:80/a/b?x=1",
+        "https://example.com:8443/",
+        "http://example.com",                     # no path
+        "https://example.com./x",                 # trailing dot host
+        "http://User:pw@example.com/x",           # userinfo
+        "http://example.com/a#frag",              # fragment
+        "http://example.com/a?x=1&y=2",           # query
+        "file:///tmp/a.html",
+        "zip://ar.zip!m/x.html",
+        "http://[::1]:8080/x",                    # ipv6
+        "http://ex_ample.com/x",                  # underscore host
+        "http://EXAMPLE.COM/UPPER/path",
+        "http://a.b.c.d.example.com/deep/path/x",
+        "not-a-url",
+        "",
+    ]
+    got = surt_batch(pa.array(urls, type=pa.string()))
+    want = [surt(u) for u in urls]
+    assert got == want

@@ -186,6 +186,63 @@ def surt_host(url: str) -> str:
     return (h or "").lower()
 
 
+def surt_batch(col) -> list[str]:
+    """Vectorized :func:`surt` over a URL column.
+
+    The common ``http(s)://simplehost/path`` shape (no port, userinfo,
+    query or fragment) runs in Arrow kernels: scheme strip, regex
+    host/path split, lowercase + trailing-dot trim — then the host
+    reversal (the only genuinely stringy step) runs once per DISTINCT
+    host via dictionary encoding (link batches repeat hosts at fanout
+    scale). Rows outside the simple shape fall back to the scalar
+    function, keeping the two paths semantically identical
+    (parity-tested in tests/test_functions.py). The per-URL scalar
+    ``surt`` loop was the largest single cost inside the seen-probe
+    task (~3.2us/URL; 52ms of a 107ms 16k-row probe batch)."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    http = pc.starts_with(col, pattern="http://")
+    https = pc.starts_with(col, pattern="https://")
+    rest = pc.if_else(https, pc.utf8_slice_codeunits(col, 8),
+                      pc.utf8_slice_codeunits(col, 7))
+    # non-regex split: parts[0] = host; path = '/' + join(parts[1:2]) —
+    # exactly '/tail' when a slash exists, '/' when not
+    parts = pc.split_pattern(rest, "/", max_splits=1)
+    host = pc.list_element(parts, 0)
+    hostl = pc.utf8_rtrim(pc.utf8_lower(host), ".")
+    tail = pc.binary_join(pc.list_slice(parts, 1, 2), "")
+    path = pc.binary_join_element_wise(pa.scalar("/"), tail, "")
+    no_qf = pc.and_(pc.equal(pc.find_substring(rest, "?"), -1),
+                    pc.equal(pc.find_substring(rest, "#"), -1))
+    simple = pc.and_(
+        pc.or_(http, https),
+        pc.and_(
+            pc.and_(pc.not_equal(hostl, ""),
+                    pc.match_substring_regex(hostl, r"^[a-z0-9.\-]+$")),
+            no_qf,
+        ),
+    )
+    # host reversal once per distinct host
+    dic = hostl.dictionary_encode()
+    rev_dict = pa.array(
+        [",".join(reversed(h.split("."))) if h else ""
+         for h in dic.dictionary.to_pylist()],
+        type=pa.string())
+    rev = rev_dict.take(dic.indices)
+    joined = pc.binary_join_element_wise(rev, path, ")")
+    # ')' separator: rev + ')' + path == the simple-shape SURT
+    out = np.asarray(joined.to_pylist(), dtype=object)
+    mask = simple.to_numpy(zero_copy_only=False)
+    if not mask.all():
+        idx = np.nonzero(~mask)[0]
+        urls = col.take(pa.array(idx)).to_pylist()
+        for i, u in zip(idx, urls):
+            out[i] = surt(u)
+    return out.tolist()
+
+
 def surt_host_batch(col) -> np.ndarray:
     """Vectorized :func:`surt_host` over a URL column (object ndarray
     out). The common ``http(s)://simplehost/...`` shape runs entirely in

@@ -49,7 +49,8 @@ import pyarrow.parquet as pq
 
 from ..codecs import MIME_BY_FMT
 from ..functions.digests import record_id, sha1_b32
-from ..functions.urls import surt, surt_hash64_batch, surt_host, surt_host_batch
+from ..functions.urls import (surt, surt_batch, surt_hash64_batch,
+                              surt_host, surt_host_batch)
 from ..state.shards import HostShardState, SeenShardState
 
 FRONTIER_SCHEMA = pa.schema(
@@ -144,9 +145,11 @@ def seen_probe_batch(batch: pa.Table, seen_actors) -> pa.Table:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     dic = col.dictionary_encode()
-    uniq_urls = dic.dictionary.to_pylist()
     url_inverse = dic.indices.to_numpy(zero_copy_only=False)
-    uniq_hashes = surt_hash64_batch([surt(u) for u in uniq_urls])
+    # vectorized SURT over the distinct URLs (Arrow kernels + per-
+    # distinct-host reversal) — the scalar surt() loop was the largest
+    # single cost inside the probe task
+    uniq_hashes = surt_hash64_batch(surt_batch(dic.dictionary))
     hashes = uniq_hashes[url_inverse]
     # first_of[j] = index in `hashes` of the FIRST occurrence of uniq[j]
     uniq, first_of, inverse = np.unique(hashes, return_index=True,
