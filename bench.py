@@ -94,7 +94,10 @@ def bench_frontier(results: dict, thr: dict) -> None:
         max_generations=12,
         num_seen_shards=8, num_host_shards=8,
         clock_iso=clock,
-        batch_size=16384,
+        # 32768: at the 200k shape the probe/offer wall is task-count
+        # bound (~40 probe tasks/gen at 32k vs 80 at 16k) — measured
+        # best of {8k, 16k, 32k, 64k}; at the 1M shape 16k and 32k tie
+        batch_size=32768,
         # plain-task tiers up to 256k-row generations: the fused
         # fetch+explode tasks keep frontier tables in the object store
         # (ref tier) and skip per-generation Ray Data job overhead; the
