@@ -539,10 +539,18 @@ def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
       ONE block (``repartition(1)`` — object store, NOT the driver) and
       a single task runs the pandas groupby-emit + pair dedup at C
       speed. No sort shuffle at all.
-    - large band tables: native ``groupby(bkey)`` over everything
-      (singleton groups emit nothing), then a distributed
-      ``groupby(pkey)`` removes cross-band duplicate pairs. No driver
-      pass at all — the honest all-to-all price at 10^10-doc scale.
+    - large band tables: band rows are hash-partitioned into COARSE
+      buckets (``hash(bkey) % B``, B sized so each holds ~1M rows) and
+      one ``groupby`` over that small-cardinality key runs the bulk
+      vectorized emit per coarse bucket; a second coarse-bucketed
+      ``groupby`` over ``hash(pair) % B`` dedups cross-band duplicate
+      pairs with an in-frame ``drop_duplicates``. Dispatch count is B,
+      not one pandas group per collision bucket or per candidate PAIR
+      — per-group frame overhead is 1-2 ms (measured, see
+      _emit_pairs_bulk), which at a 10^10-doc corpus' candidate rate
+      would be tens of millions of dispatches. No driver pass at all —
+      the honest all-to-all price at 10^10-doc scale, paid twice and
+      nothing more.
 
     Pair emit happens inside distributed tasks in BOTH paths; member
     rows never reach the driver. ``pair_filter(df)`` (optional) runs
@@ -555,13 +563,6 @@ def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
         out = _emit_pairs_bulk(g, bkey_col, id_col, bucket_cap, extra_cols)
         if pair_filter is not None:
             out = pair_filter(out)  # applied to empties too: uniform schema
-        return out
-
-    def emit_with_pkey(g: pd.DataFrame) -> pd.DataFrame:
-        # the large tier's distributed pair dedup groups on one string
-        # key; built AFTER the filter so rejected pairs pay nothing
-        out = emit(g)
-        out["pkey"] = out["id_a"].astype(str) + "|" + out["id_b"].astype(str)
         return out
 
     n_rows = n_rows_hint
@@ -597,14 +598,56 @@ def candidate_pairs_from_bands(bands, bkey_col: str, id_col: str, *,
             .map_batches(emit_all, batch_format="pandas", batch_size=None)
         )
 
-    pairs = bands.groupby(bkey_col).map_groups(emit_with_pkey,
-                                               batch_format="pandas")
+    nbb = _coarse_bucket_count(n_rows)
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    def add_band_bucket(t: pa.Table) -> pa.Table:
+        col = t.column(bkey_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        k = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        h = k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        bb = ((h >> np.uint64(33)) % np.uint64(nbb)).astype(np.int64)
+        return t.append_column("__bb", pa.array(bb))
 
-    distinct = pairs.groupby("pkey").map_groups(first, batch_format="pandas")
-    return distinct.drop_columns(["pkey"])
+    def emit_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # every collision bucket whose bkey hashes here is fully
+        # contained in this group; the bulk emit vectorizes across all
+        # of them in one pass
+        out = emit(g.drop(columns="__bb"))
+        # within-frame pair dedup first (cross-band duplicates that
+        # happen to share a coarse bucket cost nothing downstream)
+        out = out.drop_duplicates(["id_a", "id_b"])
+        return _with_pair_bucket(out, nbb)
+
+    pairs = (
+        bands.map_batches(add_band_bucket, batch_format="pyarrow")
+        .groupby("__bb").map_groups(emit_bucket, batch_format="pandas")
+    )
+
+    def dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"])
+
+    distinct = pairs.groupby("__pb").map_groups(dedup_bucket,
+                                                batch_format="pandas")
+    return distinct.drop_columns(["__pb"])
+
+
+def _coarse_bucket_count(n_rows: int) -> int:
+    """Coarse shuffle-bucket count for the large candidate tier: ~1M
+    band rows per bucket so a group frame fits a worker, floored at 32
+    so small forced-large runs still parallelize, capped at 64k so the
+    group count never itself becomes a dispatch problem."""
+    return int(max(32, min(1 << 16, n_rows // 1_000_000 + 1)))
+
+
+def _with_pair_bucket(out: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
+    """Append ``__pb = mix(id_a, id_b) % num_buckets`` — the coarse
+    hash-partition key for the distributed cross-band pair dedup."""
+    a = out["id_a"].to_numpy().astype(np.uint64, copy=False)
+    b = out["id_b"].to_numpy().astype(np.uint64, copy=False)
+    h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
+    out["__pb"] = ((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
+    return out
 
 
 def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
@@ -612,48 +655,53 @@ def verify_jaccard_pairs(pairs_ds, docs_ds, *, id_col: str = "doc_id",
                          shingle_k: int = 3, num_buckets: int = 8):
     """Distributed exact-Jaccard verification of candidate pairs.
 
-    pair sides (pkey, id) bucketed-hash-join against the corpus on the
-    id (an inner join, so it is also the semi-join that prunes
-    non-candidate docs), then ``groupby(pkey)`` brings the two texts of
-    each pair into one group where the shingle Jaccard is computed
-    (worker-cached shingles via _SHINGLE_CACHE). Returns a Dataset of
-    (id_a, id_b, jaccard) for pairs passing ``threshold``. Only pair
-    rows and per-pair text copies cross the wire."""
+    Both texts are bucketed-hash-joined ONTO the pair rows (one join
+    per side: corpus projected to (id_a, text_a) then (id_b, text_b)),
+    and the shingle Jaccard of every pair is computed per-ROW inside
+    ``map_batches`` — no per-pair group dispatch anywhere (a pandas
+    group per candidate pair costs 1-2 ms of frame overhead, hours of
+    pure dispatch at 10^10-doc candidate rates). Shingle sets are
+    worker-cached via _SHINGLE_CACHE, so the heavy text reuse of
+    near-dup corpora amortizes across pairs sharing a doc. Returns a
+    Dataset of (id_a, id_b, jaccard) for pairs passing ``threshold``;
+    pairs with a side missing from the corpus drop (inner join), and a
+    corpus is assumed to carry one row per id (the small tier assumes
+    the same). Only pair rows and per-pair text copies cross the wire."""
     from .joins import bucketed_hash_join
 
-    def sides(t: pa.Table) -> pa.Table:
-        ida = t.column("id_a").to_pylist()
-        idb = t.column("id_b").to_pylist()
-        pkeys = ["%s|%s" % (a, b) for a, b in zip(ida, idb)]
-        return pa.table(
-            {
-                "pkey": pa.array(pkeys + pkeys, type=pa.string()),
-                id_col: pa.array(ida + idb, type=pa.int64()),
-            }
-        )
+    def side_tbl(t: pa.Table, suffix: str) -> pa.Table:
+        return pa.table({"id_%s" % suffix: t.column(id_col),
+                         "text_%s" % suffix: t.column(text_col)})
 
-    sides_ds = pairs_ds.map_batches(sides, batch_format="pyarrow")
-    docs2 = docs_ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
-    joined = bucketed_hash_join(sides_ds, docs2, id_col, num_buckets=num_buckets)
+    docs_a = docs_ds.map_batches(lambda t: side_tbl(t, "a"),
+                                 batch_format="pyarrow")
+    docs_b = docs_ds.map_batches(lambda t: side_tbl(t, "b"),
+                                 batch_format="pyarrow")
+    j1 = bucketed_hash_join(pairs_ds, docs_a, "id_a", num_buckets=num_buckets)
+    j2 = bucketed_hash_join(j1, docs_b, "id_b", num_buckets=num_buckets)
 
-    def pair_jaccard(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                              "id_b": pd.Series([], dtype="int64"),
-                              "jaccard": pd.Series([], dtype="float64")})
-        g = g.drop_duplicates(id_col)
-        if len(g) != 2:
-            return empty  # a side missing from the corpus
-        ids = sorted(int(x) for x in g[id_col])
-        texts = dict(zip(g[id_col].astype("int64"), g[text_col]))
-        sh = [_cached_shingle_set(i, texts[i], shingle_k) for i in ids]
-        j = jaccard(sh[0], sh[1])
-        if j < threshold:
-            return empty
-        return pd.DataFrame({"id_a": [ids[0]], "id_b": [ids[1]],
-                             "jaccard": [float(j)]})
+    def row_jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a = df["id_a"].astype("int64").to_numpy()
+        ids_b = df["id_b"].astype("int64").to_numpy()
+        out_a: list = []
+        out_b: list = []
+        out_j: list = []
+        for a, b, x, y in zip(ids_a, ids_b, df["text_a"], df["text_b"]):
+            sa = _cached_shingle_set(int(a), x if isinstance(x, str) else "",
+                                     shingle_k)
+            sb = _cached_shingle_set(int(b), y if isinstance(y, str) else "",
+                                     shingle_k)
+            j = jaccard(sa, sb)
+            if j >= threshold:
+                lo, hi = (int(a), int(b)) if a < b else (int(b), int(a))
+                out_a.append(lo)
+                out_b.append(hi)
+                out_j.append(float(j))
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
 
-    return joined.groupby("pkey").map_groups(pair_jaccard, batch_format="pandas")
+    return j2.map_batches(row_jaccard, batch_format="pandas")
 
 
 def _verify_jaccard_small(pair_df: pd.DataFrame, docs_ds, *,
@@ -724,26 +772,26 @@ def components_from_pairs(pairs: list[tuple]) -> list[tuple]:
 
 def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
                       shingle_k: int = 3, threshold: float = 0.8,
-                      id_col: str = "doc_id", concurrency: int | tuple = (2, 8),
+                      id_col: str = "doc_id", concurrency: int | None = None,
                       bucket_cap: int = 256,
                       small_threshold: int = 2_000_000):
     """Full near-dup pipeline -> Dataset(doc_id, dup_of) for docs whose
     verified Jaccard >= threshold with a lower-id doc.
 
-    Every stage is distributed: signatures (actor pool) -> band rows ->
-    candidate pairs (groupby(bkey) map_groups, all-pairs with cap) ->
-    distinct pairs (groupby(pkey)) -> exact-Jaccard verify (bucketed
-    join + groupby(pkey)). Only the verified pair list — the actual
-    result — reaches the driver, for the union-find component labels."""
+    Every stage is distributed: signatures (stateless tasks over warm
+    worker processes) -> band rows -> candidate pairs (coarse-bucketed
+    groupby, all-pairs with cap) -> distinct pairs (coarse-bucketed
+    pair dedup) -> exact-Jaccard verify (two bucketed joins + per-row
+    Jaccard). Only the verified pair list — the actual result — reaches
+    the driver, for the union-find component labels. ``concurrency``
+    (optional int) caps the task pools of the map_batches stages for
+    callers that must bound the job's footprint."""
     import ray.data as rd
 
-    # stateless tasks over warm worker processes (see minhash_sig_batch):
-    # the ``concurrency`` arg survives as a task cap for callers that
-    # need to bound the stage
     verified, with_sig = near_dup_pairs(
         ds, num_perm=num_perm, num_bands=num_bands, shingle_k=shingle_k,
         threshold=threshold, id_col=id_col, bucket_cap=bucket_cap,
-        small_threshold=small_threshold)
+        small_threshold=small_threshold, concurrency=concurrency)
     if len(verified) == 0:
         return rd.from_items([]), with_sig
     keep = list(zip(verified["id_a"].astype("int64"),
@@ -758,22 +806,27 @@ def minhash_lsh_dedup(ds, *, num_perm: int = 64, num_bands: int = 16,
 def near_dup_pairs(ds, *, num_perm: int = 64, num_bands: int = 16,
                    shingle_k: int = 3, threshold: float = 0.8,
                    id_col: str = "doc_id", bucket_cap: int = 256,
-                   small_threshold: int = 2_000_000):
+                   small_threshold: int = 2_000_000,
+                   concurrency: int | None = None):
     """The MinHash+LSH pipeline up to (and including) the exact-Jaccard
     verify: returns (verified pairs DataFrame(id_a, id_b, jaccard),
     with_sig Dataset). The verified pair list is the job's output-sized
     result, so it lands on the driver; callers needing components feed
-    it to components_from_pairs / stages.components.connected_components."""
+    it to components_from_pairs / stages.components.connected_components.
+    ``concurrency`` (optional int) is forwarded as the task cap of the
+    signature / banding map_batches stages."""
     import ray.data as rd
 
+    kw = {} if concurrency is None else {"concurrency": concurrency}
     with_sig = ds.map_batches(
         minhash_sig_batch, fn_args=(num_perm, shingle_k),
-        batch_format="pyarrow",
+        batch_format="pyarrow", **kw,
     ).materialize()
     n_docs = with_sig.count()
 
     bands = with_sig.map_batches(
-        lambda b: lsh_band_rows(b, num_bands, id_col), batch_format="pyarrow"
+        lambda b: lsh_band_rows(b, num_bands, id_col), batch_format="pyarrow",
+        **kw,
     )
     small = n_docs * num_bands <= small_threshold
     pairs = candidate_pairs_from_bands(
