@@ -444,6 +444,71 @@ def test_warc_shards_delta_only_append(tmp_path, ray_session):
     assert len(read_warc_dir(out_dir)) == 17
 
 
+def test_warc_shards_delta_retry_idempotent(tmp_path, ray_session):
+    """ADVICE r4 (medium), mode 2: a plain RETRY of an already-applied
+    delta must byte-verify the on-disk suffix and no-op — not compute a
+    prefix digest over only the delta rows, mismatch the stored
+    full-part digest, and spuriously refuse."""
+    from warcit_ray.sinks.warc_sink import read_warc_dir
+
+    out_dir = str(tmp_path / "retry")
+    write_warc_shards(_mini_records(range(10)), out_dir, rows_per_shard=8)
+    write_warc_shards(_mini_records(range(10, 15)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    assert len(read_warc_dir(out_dir)) == 15
+    # the retry: same delta again — applied already, must be a no-op
+    write_warc_shards(_mini_records(range(10, 15)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    recs = read_warc_dir(out_dir)
+    assert [r["headers"]["WARC-Target-URI"] for r in recs] == \
+        ["http://x.example/%d" % i for i in range(15)]
+    # a DIFFERENT payload for the same already-appended seqs still raises
+    with pytest.raises(ValueError, match="refusing to append"):
+        write_warc_shards(_mini_records(range(10, 15), tag="CHANGED"),
+                          out_dir, mode="ab", rows_per_shard=8)
+
+
+def test_warc_shards_crash_window_heals_not_doubles(tmp_path, ray_session):
+    """ADVICE r4 (medium), mode 1: a crash between the part rename and
+    the meta rename leaves appended bytes with a stale meta; the retried
+    delta must detect that the on-disk extra bytes ARE this delta (heal
+    the meta) instead of blindly appending the same records twice."""
+    import hashlib
+    import json
+
+    from warcit_ray.sinks.warc_sink import read_warc_dir
+
+    out_dir = str(tmp_path / "crash")
+    write_warc_shards(_mini_records(range(10)), out_dir, rows_per_shard=8)
+    meta_path = os.path.join(out_dir, "part-%020d.meta.json"
+                             % ((9 + (1 << 32)) // 8))
+    with open(meta_path) as fh:
+        pre_delta_meta = fh.read()
+    write_warc_shards(_mini_records(range(10, 15)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    # simulate the crash: the part carries the delta, the meta does not
+    with open(meta_path, "w") as fh:
+        fh.write(pre_delta_meta)
+    write_warc_shards(_mini_records(range(10, 15)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    recs = read_warc_dir(out_dir)  # healed: exactly 15, no seq doubled
+    assert [r["headers"]["WARC-Target-URI"] for r in recs] == \
+        ["http://x.example/%d" % i for i in range(15)]
+    # the meta now matches the on-disk bytes again
+    part_path = meta_path.replace(".meta.json", ".warc.gz")
+    with open(meta_path) as fh:
+        healed = json.load(fh)
+    with open(part_path, "rb") as fh:
+        assert healed["sha256"] == hashlib.sha256(fh.read()).hexdigest()
+    assert healed["max_seq"] == 14
+    # desync where the extra bytes are NOT this delta: refuse loudly
+    with open(part_path, "ab") as fh:
+        fh.write(b"garbage-from-another-writer")
+    with pytest.raises(ValueError, match="desync"):
+        write_warc_shards(_mini_records(range(15, 17)), out_dir, mode="ab",
+                          rows_per_shard=8)
+
+
 def test_logfile_shards_order_and_resume(iana_dir, tmp_path):
     """VERDICT r3 #4 (K3 distributed sink): the sharded CSV logfile
     writes distributed with deterministic seq-range parts, reruns are

@@ -143,7 +143,12 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
     input rows for an already-written range changed — raises instead
     of silently keeping the stale part (the reference's single-file
     'ab' appends everything; an immutable seq-ranged part cannot
-    interleave, so mutation of written ranges is an error here)."""
+    interleave, so mutation of written ranges is an error here).
+    Appends are retry-idempotent: a rerun of an already-applied delta
+    byte-verifies the on-disk suffix and no-ops, and a crash between
+    the part rename and the meta rename is healed on retry (the stale
+    meta's digest matches the on-disk prefix and the extra bytes match
+    the delta, so only the meta is rewritten — never a double append)."""
     import hashlib
     import json
 
@@ -184,17 +189,22 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
     def _part_meta_path(shard_id: int) -> str:
         return os.path.join(out_dir, "part-%020d.meta.json" % shard_id)
 
+    def _write_meta(shard_id: int, records: int, max_seq: int,
+                    sha256: str) -> None:
+        mtmp = _part_meta_path(shard_id) + ".tmp"
+        with open(mtmp, "w") as fh:
+            json.dump({"records": records, "max_seq": max_seq,
+                       "sha256": sha256}, fh)
+        os.replace(mtmp, _part_meta_path(shard_id))
+
     def _write_part(name: str, shard_id: int, payload: bytes,
                     records: int, max_seq: int) -> None:
         tmp = name + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(payload)
-        mtmp = _part_meta_path(shard_id) + ".tmp"
-        with open(mtmp, "w") as fh:
-            json.dump({"records": records, "max_seq": max_seq,
-                       "sha256": hashlib.sha256(payload).hexdigest()}, fh)
         os.replace(tmp, name)         # part first, then meta: a missing
-        os.replace(mtmp, _part_meta_path(shard_id))  # meta is recoverable
+        _write_meta(shard_id, records, max_seq,   # meta is recoverable
+                    hashlib.sha256(payload).hexdigest())
 
     def write_shard(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
@@ -208,31 +218,55 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
             _write_part(name, shard_id, serialize_batch(g, gzip_members),
                         g.num_rows, int(seqs[-1]))
             return pa.table({"path": [name], "records": [g.num_rows]})
-        # part exists: verify-then-append (never skip-blind)
+        # part exists: verify-then-append (never skip-blind — every
+        # branch below checks on-disk bytes before writing or no-op'ing)
         pmeta = _part_meta_path(shard_id)
         if os.path.exists(pmeta):
             with open(pmeta) as fh:
                 old = json.load(fh)
             n_old = sum(1 for s in seqs if s <= old["max_seq"])
-            # delta-only rerun (every supplied row is new, seq > recorded
-            # max_seq): there is no overlapping prefix to verify — the
-            # empty-prefix digest would spuriously mismatch the stored
-            # full-part digest. Skip the check and go straight to append.
+            with open(name, "rb") as fh:
+                existing = fh.read()
+            disk_sha = hashlib.sha256(existing).hexdigest()
             if n_old:
                 prefix = serialize_batch(g.slice(0, n_old), gzip_members)
                 if hashlib.sha256(prefix).hexdigest() != old["sha256"]:
-                    raise ValueError(
-                        "%s: rows for already-written seq range <= %d differ "
-                        "from the on-disk part (changed input or shifted walk "
-                        "order) — refusing to append; use mode='wb' to rewrite"
-                        % (name, old["max_seq"]))
+                    # retry of an ALREADY-APPLIED delta: the supplied
+                    # "overlap" rows are the part's suffix (appended by
+                    # the prior run, whose meta now covers them), not
+                    # its prefix — a byte-verified no-op, not an error
+                    if not (disk_sha == old["sha256"]
+                            and existing.endswith(prefix)):
+                        raise ValueError(
+                            "%s: rows for already-written seq range <= %d "
+                            "differ from the on-disk part (changed input or "
+                            "shifted walk order) — refusing to append; use "
+                            "mode='wb' to rewrite" % (name, old["max_seq"]))
             if n_old < g.num_rows:  # genuinely new higher-seq rows: append
                 tail = serialize_batch(g.slice(n_old), gzip_members)
-                with open(name, "rb") as fh:
-                    existing = fh.read()
-                _write_part(name, shard_id, existing + tail,
-                            old["records"] + (g.num_rows - n_old),
-                            int(seqs[-1]))
+                if disk_sha != old["sha256"]:
+                    # part/meta desync — a crash landed between the part
+                    # rename and the meta rename. Recoverable IFF the
+                    # on-disk extra bytes are exactly this delta's tail
+                    # (the append already happened): heal the meta and
+                    # do NOT append the same records a second time.
+                    if (existing.endswith(tail)
+                            and hashlib.sha256(
+                                existing[: len(existing) - len(tail)]
+                            ).hexdigest() == old["sha256"]):
+                        _write_meta(shard_id,
+                                    old["records"] + (g.num_rows - n_old),
+                                    int(seqs[-1]), disk_sha)
+                    else:
+                        raise ValueError(
+                            "%s: on-disk bytes do not match the recorded "
+                            "sha256 and do not end with this run's delta — "
+                            "part/meta desync from an unrelated write; use "
+                            "mode='wb' to rewrite" % name)
+                else:
+                    _write_part(name, shard_id, existing + tail,
+                                old["records"] + (g.num_rows - n_old),
+                                int(seqs[-1]))
         else:
             # legacy part without sidecar: identical rerun skips, any
             # difference is an error (no way to know what's already in it)
