@@ -153,3 +153,42 @@ def test_surt_batch_parity():
     got = surt_batch(pa.array(urls, type=pa.string()))
     want = [surt(u) for u in urls]
     assert got == want
+
+
+def test_bpeish_counts_match_regex():
+    """VERDICT r4 #7: the vectorized run-classification piece counter
+    (both the ASCII Arrow-buffer path and the Unicode join path) must
+    equal len(_BPEISH_RX.findall(t)) for every text."""
+    import random
+
+    from warcit_ray.stages.text import (
+        _BPEISH_RX,
+        _bpeish_counts,
+        _bpeish_counts_arrow,
+        token_count_batch,
+    )
+
+    cases = ["", "hello world", "a1", "a-b", "--a", "x!y?z", "  \t\n ",
+             "foo.bar!baz??12ab34", "é!", "naïve café's 123 ٣٤",
+             "中文字符 mixed中with ascii", "1٣", " nbsp sep"]
+    want = [len(_BPEISH_RX.findall(t)) for t in cases]
+    assert list(_bpeish_counts(cases)) == want
+
+    rng = random.Random(7)
+    pool = "abcXYZ019 \t\n.,;!-'\"()"
+    fuzz = ["".join(rng.choice(pool) for _ in range(rng.randrange(0, 120)))
+            for _ in range(300)]
+    want_f = [len(_BPEISH_RX.findall(t)) for t in fuzz]
+    assert list(_bpeish_counts(fuzz)) == want_f
+    # pure-ASCII fuzz goes through the zero-copy Arrow-buffer path
+    arrow = _bpeish_counts_arrow(pa.array(fuzz))
+    assert arrow is not None and list(arrow) == want_f
+    # sliced column (nonzero Arrow offset)
+    sl = pa.array(fuzz).slice(37, 120)
+    assert list(_bpeish_counts_arrow(sl)) == want_f[37:157]
+    # non-ASCII and null columns punt to the join path
+    assert _bpeish_counts_arrow(pa.array(["café"])) is None
+    out = token_count_batch(pa.table({"text": ["a b", None, "x!"]}))
+    assert out.column("bpeish_tokens").to_pylist() == [2, 0, 2]
+    # ws_tokens keeps Arrow null semantics for null text (pre-existing)
+    assert out.column("ws_tokens").to_pylist() == [2, None, 1]

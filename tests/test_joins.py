@@ -38,6 +38,41 @@ def test_bucketed_hash_join(sides):
                                   check_dtype=False)
 
 
+def test_bucketed_join_keeps_63bit_ids_exact(ray_session):
+    # ids >= 2^53 are NOT representable in float64: any pandas float
+    # widening in the join transit silently rounds them to wrong
+    # neighbours. surt_hash64-style 63-bit keys are exactly the regime
+    # the large dedup/components tiers run in.
+    import ray.data as rd
+
+    base = (1 << 62) + 1  # odd offsets stress the float53 boundary
+    keys = [base + i for i in range(7)]
+    left = rd.from_items([{"k": k, "lval": k + 1} for k in keys])
+    right = rd.from_items([{"k": k, "rval": k + 2} for k in keys[:5]])
+    got = (bucketed_hash_join(left, right, "k", num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == keys[:5]
+    assert got["lval"].tolist() == [k + 1 for k in keys[:5]]
+    assert got["rval"].tolist() == [k + 2 for k in keys[:5]]
+    assert str(got["lval"].dtype).lower() in ("int64", "Int64".lower())
+
+
+def test_bucketed_anti_join_keeps_63bit_ids_exact(ray_session):
+    import ray.data as rd
+
+    from warcit_ray.stages.joins import bucketed_anti_join
+
+    base = (1 << 62) + 1
+    keys = [base + i for i in range(9)]
+    left = rd.from_items([{"k": k, "payload": k ^ 0x5A5A} for k in keys])
+    drop = rd.from_items([{"k": k} for k in keys[::2]])  # drop evens
+    got = (bucketed_anti_join(left, drop, "k", num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got["k"].tolist() == keys[1::2]
+    assert got["payload"].tolist() == [k ^ 0x5A5A for k in keys[1::2]]
+    assert str(got["payload"].dtype) == "int64"  # no float widening at all
+
+
 def test_native_hash_join_if_available(sides):
     import ray.data as rd
 

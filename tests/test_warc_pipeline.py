@@ -562,3 +562,15 @@ def test_logfile_shards_order_and_resume(iana_dir, tmp_path):
     with pytest.raises(ValueError, match="refusing to overwrite"):
         write_logfile_shards(build_warc_dataset(cfg2), out_dir,
                              rows_per_shard=8)
+
+    # ADVICE r4: resuming with a different rows_per_shard would write a
+    # second overlapping part set under different names — the
+    # _shards.json sidecar refuses before any row is written
+    with pytest.raises(ValueError, match="shard layout"):
+        write_logfile_shards(build_warc_dataset(cfg), out_dir,
+                             rows_per_shard=16)
+    assert os.path.exists(os.path.join(out_dir, "_shards.json"))
+    # and the original layout still resumes cleanly
+    parts3 = write_logfile_shards(build_warc_dataset(cfg), out_dir,
+                                  rows_per_shard=8)
+    assert parts3 == parts

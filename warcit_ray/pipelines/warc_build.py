@@ -66,21 +66,36 @@ def logfile_dataset(records_ds):
             "content_type", "mime", "charset"]
 
     def project(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        df = df[df["record_type"] != "warcinfo"]
+        # all-Arrow projection (zero pandas transit in the K3 hot path)
+        import pyarrow.compute as pc
+
+        rt = pc.cast(t.column("record_type"), pa.string())
+        t = t.filter(pc.fill_null(pc.invert(pc.equal(rt, "warcinfo")), True))
+        rt = pc.cast(t.column("record_type"), pa.string())
         # revisit/metadata rows only log file/type/url/timestamp
-        # (warcit.py:558-566,609-618)
-        meta_mask = df["record_type"].isin(["revisit"]) | df["log_file"].eq("-")
-        for col in ("content_type", "mime", "charset"):
-            df.loc[meta_mask, col] = ""
-        df = df.rename(columns={
-            "log_file": "file", "record_type": "Record-Type",
-            "target_uri": "URL", "warc_date": "timestamp",
-            "content_type": "Content-Type",
+        # (warcit.py:558-566,609-618); null-safe like the pandas
+        # predicate this replaces (null -> not a meta row)
+        meta_mask = pc.or_(
+            pc.fill_null(pc.equal(rt, "revisit"), False),
+            pc.fill_null(
+                pc.equal(pc.cast(t.column("log_file"), pa.string()), "-"),
+                False))
+        empty = pa.scalar("", type=pa.string())
+
+        def blank(col: str):
+            return pc.if_else(meta_mask, empty,
+                              pc.cast(t.column(col), pa.string()))
+
+        return pa.table({
+            "seq": t.column("seq"),
+            "file": t.column("log_file"),
+            "Record-Type": rt,
+            "URL": t.column("target_uri"),
+            "timestamp": t.column("warc_date"),
+            "Content-Type": blank("content_type"),
+            "mime": blank("mime"),
+            "charset": blank("charset"),
         })
-        return pa.Table.from_pandas(df[["seq"] + LOGFILE_COLUMNS]
-                                    .reset_index(drop=True),
-                                    preserve_index=False)
 
     return records_ds.select_columns(cols).map_batches(
         project, batch_format="pyarrow")
@@ -126,11 +141,30 @@ def write_logfile_shards(records_ds, out_dir: str,
     in seq order) written atomically via tmp+rename; lexicographic
     filename order == record order. A rerun reproduces byte-identical
     parts, so resume skips existing identical parts and raises on a
-    content mismatch instead of mis-skipping."""
+    content mismatch instead of mis-skipping. A ``_shards.json``
+    sidecar pins rows_per_shard on first write (the write_warc_shards
+    discipline): resuming with a different value would write a second,
+    overlapping set of part files under different names — refused."""
+    import json
+
     import pyarrow.compute as pc
 
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+
+    meta = {"rows_per_shard": int(rows_per_shard)}
+    meta_path = os.path.join(out_dir, "_shards.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            old = json.load(fh)
+        if old != meta:
+            raise ValueError(
+                "existing logfile shard layout %r does not match requested "
+                "%r — a resume would write overlapping parts under "
+                "different names" % (old, meta))
+    else:
+        with open(meta_path, "w") as fh:
+            json.dump(meta, fh)
 
     def add_shard(t: pa.Table) -> pa.Table:
         shard = pc.divide(

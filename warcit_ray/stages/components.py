@@ -99,13 +99,14 @@ def _propagate_min_labels(pairs, id_a: str, id_b: str,
     )
     prev_sum = labels.sum("lbl")
 
+    converged = False
     for _ in range(max_iters):
         lab_src = labels.map_batches(
             lambda t: pa.table({"src": t.column("id"), "plbl": t.column("lbl")}),
             batch_format="pyarrow")
-        # cast: the join's tagged union widens side-local int columns to
-        # float64 (nulls for the other side's rows) — labels.union(prop)
-        # needs matching int64 schemas
+        # cast: the join keeps ints integral (nullable-Int64 transit in
+        # bucketed_hash_join, so 63-bit ids survive exactly); the cast
+        # only pins the schema so labels.union(prop) matches
         _LBL = pa.schema([pa.field("id", pa.int64()),
                           pa.field("lbl", pa.int64())])
 
@@ -127,8 +128,18 @@ def _propagate_min_labels(pairs, id_a: str, id_b: str,
         )
         new_sum = labels.sum("lbl")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        # callers treat the output as exact; a component whose min-label
+        # eccentricity exceeds max_iters would otherwise silently come
+        # back with wrong (unconverged) labels
+        raise RuntimeError(
+            "connected_components did not converge within max_iters=%d "
+            "rounds (a component's min-label eccentricity exceeds the "
+            "iteration budget); rerun with a larger max_iters" % max_iters)
 
     return labels.map_batches(
         lambda t: pa.table({"member": t.column("id").cast(pa.int64()),

@@ -1075,8 +1075,9 @@ class HyperplaneBucketer:
         return p
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(self.vec_col).to_pylist(),
-                          dtype=np.float32)
+        from .similarity import _as_matrix
+
+        vecs = _as_matrix(batch.column(self.vec_col), np.float32)
         if len(vecs) == 0:
             return batch.append_column("bucket", pa.array([], type=pa.int64()))
         signs = (vecs @ self._planes_for(vecs.shape[1])) > 0

@@ -43,15 +43,31 @@ def _with_bucket(ds, key: str, num_buckets: int, side: int):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# Arrow -> pandas mapper keeping integer columns integral. The tagged
+# union leaves each side's columns null on the other side's rows; a
+# plain to_pandas would widen those int64 columns to float64 and
+# silently round values >= 2^53 (the dedup/components callers join on
+# 63-bit hashes, exactly the regime the large tiers exist for).
+_NULLABLE_INTS = {
+    pa.int8(): pd.Int8Dtype(), pa.int16(): pd.Int16Dtype(),
+    pa.int32(): pd.Int32Dtype(), pa.int64(): pd.Int64Dtype(),
+    pa.uint8(): pd.UInt8Dtype(), pa.uint16(): pd.UInt16Dtype(),
+    pa.uint32(): pd.UInt32Dtype(), pa.uint64(): pd.UInt64Dtype(),
+}
+
+
 def bucketed_hash_join(left, right, key: str, *, num_buckets: int = 32,
                        how: str = "inner"):
     """Explicit partitioned hash join -> Dataset of merged rows.
-    Column sets of the two sides must be disjoint apart from ``key``."""
+    Column sets of the two sides must be disjoint apart from ``key``.
+    Integer columns stay integral end to end (nullable Int64 transit,
+    never float64), so 63-bit hash ids join exactly."""
     tagged = _with_bucket(left, key, num_buckets, 0).union(
         _with_bucket(right, key, num_buckets, 1)
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
+    def merge(t: pa.Table) -> pd.DataFrame:
+        group = t.to_pandas(types_mapper=_NULLABLE_INTS.get)
         l = group[group["__side"] == 0].dropna(axis=1, how="all")
         r = group[group["__side"] == 1].dropna(axis=1, how="all")
         l = l.drop(columns=["__bucket", "__side"])
@@ -61,32 +77,36 @@ def bucketed_hash_join(left, right, key: str, *, num_buckets: int = 32,
                 return pd.DataFrame()
         return l.merge(r, on=key, how=how)
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def bucketed_anti_join(left, right_keys, key: str, *, num_buckets: int = 32):
     """Rows of ``left`` whose ``key`` does NOT appear in ``right_keys``
     (a Dataset carrying only the key column). Same one-shuffle bucketed
     pattern as :func:`bucketed_hash_join`; the right side ships nothing
-    but keys. Caveat: inside a group, left-only numeric columns of the
-    concatenated frame may widen to float64 for the right-side rows'
-    nulls — the emitted left rows keep their values, but callers with
-    strict integer columns beyond ``key`` should cast on the way out
-    (the engine's callers carry only (id, text))."""
+    but keys. Runs entirely in Arrow — left rows come back with their
+    original column types and exact values (no pandas float widening)."""
+    import pyarrow.compute as pc
+
     tagged = _with_bucket(left, key, num_buckets, 0).union(
         _with_bucket(right_keys, key, num_buckets, 1)
     )
 
-    def anti(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group["__side"] == 0].drop(columns=["__bucket", "__side"])
-        if len(l) == 0:
+    def anti(t: pa.Table) -> pa.Table:
+        side = t.column("__side").combine_chunks().to_numpy(
+            zero_copy_only=False)
+        lmask = side == 0
+        l = t.filter(pa.array(lmask)).drop_columns(["__bucket", "__side"])
+        if l.num_rows == 0:
             return l
-        r = group.loc[group["__side"] == 1, key]
-        if len(r):
-            l = l[~l[key].isin(set(r))]
+        rk = t.filter(pa.array(~lmask)).column(key).combine_chunks()
+        if len(rk):
+            keep = pc.invert(pc.is_in(l.column(key).combine_chunks(),
+                                      value_set=rk))
+            l = l.filter(keep)
         return l
 
-    return tagged.groupby("__bucket").map_groups(anti, batch_format="pandas")
+    return tagged.groupby("__bucket").map_groups(anti, batch_format="pyarrow")
 
 
 def hash_join(left, right, key: str, *, num_partitions: int = 32,

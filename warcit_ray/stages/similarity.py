@@ -148,7 +148,8 @@ def _assign_and_search(batch: pa.Table, c_ref, q: np.ndarray,
                        probe_lists: list, k: int, id_col: str,
                        vec_col: str) -> pa.Table:
     c = _resolve(c_ref)
-    ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+    ids = batch.column(id_col).combine_chunks().to_numpy(
+        zero_copy_only=False).astype(np.int64, copy=False)
     if len(ids) == 0:
         return pa.table({"query_id": pa.array([], type=pa.int64()),
                          "vec_id": pa.array([], type=pa.int64()),

@@ -33,15 +33,106 @@ STOPWORDS = {
 }
 
 
+def _bpe_class_of(ch: str) -> int:
+    """Character class under _BPEISH_RX's alternation: 1 = [A-Za-z],
+    2 = \\d, 3 = \\s, 0 = everything else (the punct-run class).
+    Classified with the same `re` predicates so Unicode digits/spaces
+    land exactly where the regex puts them."""
+    if re.match(r"\s", ch):
+        return 3
+    if "A" <= ch <= "Z" or "a" <= ch <= "z":
+        return 1
+    if re.match(r"\d", ch):
+        return 2
+    return 0
+
+
+_BPE_ASCII_TAB = np.array([_bpe_class_of(chr(i)) for i in range(128)],
+                          dtype=np.uint8)
+
+
+def _bpeish_counts(texts: list) -> np.ndarray:
+    """Piece counts equal to ``len(_BPEISH_RX.findall(t))`` per text,
+    vectorized: all texts join on a single space (class S — never a
+    piece and always a run break), characters classify into
+    {letter, digit, space, other} in one numpy pass, and a piece is a
+    position whose class differs from its predecessor's and is not
+    space. Per-text counts come from two searchsorteds of the piece
+    starts against the text offsets — no per-row regex."""
+    n = len(texts)
+    lens = np.fromiter((len(t) if t else 0 for t in texts),
+                       dtype=np.int64, count=n)
+    if n == 0 or int(lens.sum()) == 0:
+        return np.zeros(n, dtype=np.int64)
+    big = " ".join(t or "" for t in texts)
+    raw = big.encode("utf-8", "surrogatepass")
+    if len(raw) == len(big):  # pure ASCII: bytes are codepoints
+        cp = np.frombuffer(raw, dtype=np.uint8)
+        cls = _BPE_ASCII_TAB[cp]
+    else:
+        cp = np.frombuffer(big.encode("utf-32-le", "surrogatepass"),
+                           dtype=np.uint32)
+        cls = np.zeros(len(cp), dtype=np.uint8)
+        small = cp < 128
+        cls[small] = _BPE_ASCII_TAB[cp[small]]
+        hi = cp[~small]
+        if len(hi):
+            uniq = np.unique(hi)
+            lut = np.array([_bpe_class_of(chr(int(u))) for u in uniq],
+                           dtype=np.uint8)
+            cls[~small] = lut[np.searchsorted(uniq, hi)]
+    prev = np.empty_like(cls)
+    prev[0] = 3
+    prev[1:] = cls[:-1]
+    start_pos = np.flatnonzero((cls != 3) & (cls != prev))
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=offs[1:])
+    begin = offs[:-1]
+    return (np.searchsorted(start_pos, begin + lens)
+            - np.searchsorted(start_pos, begin)).astype(np.int64)
+
+
+def _bpeish_counts_arrow(col) -> "np.ndarray | None":
+    """Zero-copy fast path over the string column's own UTF-8 data
+    buffer (no to_pylist, no join, no re-encode): classify the bytes in
+    place and force a run break at every row's start offset. Only valid
+    when the buffer is pure ASCII (bytes == codepoints); returns None
+    to punt to :func:`_bpeish_counts` otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count or not pa.types.is_string(col.type):
+        return None
+    bufs = col.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset: col.offset + len(col) + 1].astype(np.int64)
+    lo = off[0]
+    seg = np.frombuffer(bufs[2], dtype=np.uint8)[lo: off[-1]]
+    if seg.size == 0:
+        return np.zeros(len(col), dtype=np.int64)
+    if int(seg.max()) >= 128:
+        return None
+    cls = _BPE_ASCII_TAB[seg]
+    prev = np.empty_like(cls)
+    prev[0] = 3
+    prev[1:] = cls[:-1]
+    begins = off[:-1] - lo
+    prev[begins[begins < len(cls)]] = 3  # rows never share a run
+    start_pos = np.flatnonzero((cls != 3) & (cls != prev))
+    return (np.searchsorted(start_pos, off[1:] - lo)
+            - np.searchsorted(start_pos, begins)).astype(np.int64)
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace token count + BPE-ish piece count, vectorized via the
-    Arrow split/list kernels (no per-row Python for ws_tokens)."""
+    Arrow split/list kernels (ws_tokens) and the run-classification
+    pass in :func:`_bpeish_counts_arrow` / :func:`_bpeish_counts`
+    (bpeish_tokens) — no per-row regex in either column."""
     text = batch.column(text_col)
     ws = pc.list_value_length(pc.utf8_split_whitespace(text))
-    pieces = pa.array(
-        [len(_BPEISH_RX.findall(t)) if t else 0 for t in text.to_pylist()],
-        type=pa.int64(),
-    )
+    counts = _bpeish_counts_arrow(text)
+    if counts is None:
+        counts = _bpeish_counts(text.to_pylist())
+    pieces = pa.array(counts, type=pa.int64())
     return batch.append_column("ws_tokens", pc.cast(ws, pa.int64())).append_column(
         "bpeish_tokens", pieces
     )
