@@ -265,7 +265,21 @@ def run_bench() -> dict:
     # wall-time swings between identical runs hours apart)
     calib = min(_timed_ceiling_work() for _ in range(3))
     raw: dict[str, list] = {}
-    for rep in range(reps):
+
+    # VERDICT r4 #2: neighbor-VM CPU steal can hit ONLY parallel phases
+    # (r4's recorded frontier reps ran 7.5-11.1s while the single-thread
+    # probe read a calm 0.059); a 32-way probe sampled between reps sees
+    # exactly that interference. The trail is recorded, and if the
+    # capture window drifted the rep loop retries (bounded) until a rep
+    # lands in a calm window or the retry budget runs out.
+    pcal_trail: list = []
+
+    def _pcal() -> float:
+        s = _timed_parallel_calib()
+        pcal_trail.append(round(s, 3))
+        return s
+
+    def run_rep() -> None:
         r: dict = {}
         t: dict = {}
         bench_warc_build(r, t)
@@ -275,12 +289,24 @@ def run_bench() -> dict:
         bench_queries(r)
         for name, sec in r.items():
             raw.setdefault(name, []).append(sec)
-            if rep == 0 or sec < results[name]:
+            if name not in results or sec < results[name]:
                 results[name] = sec
                 for k, v in t.items():
                     # throughputs ride with their pipeline's best rep
                     if _thr_pipeline(k) == name:
                         thr[k] = v
+
+    _pcal()
+    for rep in range(reps):
+        run_rep()
+        _pcal()
+    extra = int(os.environ.get("GRAFT_BENCH_EXTRA", "2"))
+    while extra > 0 and max(pcal_trail) > 1.3 * min(pcal_trail):
+        if pcal_trail[-1] <= 1.15 * min(pcal_trail):
+            break  # window calm again — the latest rep's minima are sound
+        extra -= 1
+        run_rep()
+        _pcal()
     total = round(sum(results.values()), 3)
     out = {
         "metric": "bench_total",
@@ -290,6 +316,8 @@ def run_bench() -> dict:
         "raw_secs": raw,
         "reps": reps,
         "host_calib_sec": round(calib, 3),
+        "parallel_calib_secs": pcal_trail,
+        "parallel_calib_sec": min(pcal_trail),
         "wall_sec": round(time.time() - t0, 3),
         "throughput": thr,
         "sf": _sf(),
@@ -447,6 +475,19 @@ def run_frontier_1m() -> dict:
 def _timed_ceiling_work() -> float:
     t = time.time()
     _ceiling_work(0)
+    return time.time() - t
+
+
+def _timed_parallel_calib() -> float:
+    """NUM_CPUS-way host probe via Ray tasks (two waves of the same
+    fixed _ceiling_work unit): measures the parallel substrate the
+    pipelines actually run on, so CPU steal that spares single-thread
+    work (r4's failure mode) still shows in the trail. ~0.5s calm."""
+    import ray
+
+    fn = ray.remote(num_cpus=1)(_ceiling_work)
+    t = time.time()
+    ray.get([fn.remote(i) for i in range(NUM_CPUS * 2)])
     return time.time() - t
 
 
