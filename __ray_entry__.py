@@ -563,6 +563,221 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ws_tokens, round(quality, 6) AS quality
             FROM q WHERE quality >= 0.5 ORDER BY doc_id
         """,
+        "clean_corpus": """
+            -- full cleaning chain = clean_corpus_near + language ID:
+            -- same corpus / edge / drop / keep / quality CTEs (see the
+            -- clean_corpus_near determinism argument), plus the LangId
+            -- stopword-argmax heuristic re-expressed in SQL (lang_id's
+            -- oracle) for the pred_lang column.
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(coalesce(text, ''), '^\\S+', 'ZZZ') AS text
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS sh
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), edges AS (
+                SELECT ida, idb FROM inter
+                JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+                WHERE m >= 0.5 * (sa.n + sb.n - m)
+            ), sym AS (
+                SELECT ida AS a, idb AS b FROM edges
+                UNION ALL SELECT idb, ida FROM edges
+            ), reach AS (
+                SELECT a AS id, a AS lbl FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+            ), drop_ids AS (
+                SELECT id AS doc_id FROM reach GROUP BY id HAVING min(lbl) < id
+            ), keep AS (
+                SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)
+            ), t AS (
+                SELECT c.doc_id, c.text, string_split(c.text, ' ') AS toks
+                FROM corpus c JOIN keep k ON k.doc_id = c.doc_id
+                WHERE c.doc_id NOT IN (SELECT doc_id FROM drop_ids)
+            ), f AS (
+                SELECT doc_id,
+                       CAST(len(toks) AS BIGINT) AS ws_tokens,
+                       CAST(length(text) AS DOUBLE) AS n_chars,
+                       CAST(length(regexp_replace(text,
+                            '[\\w \t\n\r\f\v]', '', 'g')) AS DOUBLE) AS punct,
+                       CAST(len(list_filter(toks, s -> lower(s) IN
+                            ('the','and','of','a','to','in','is','it',
+                             'that','for'))) AS DOUBLE) AS stop_hits
+                FROM t
+            ), q AS (
+                SELECT doc_id, ws_tokens,
+                       least(greatest(ws_tokens / 64.0, 0), 1) * 0.4
+                       + least(greatest(1 - (punct / greatest(n_chars, 1)) * 4, 0), 1) * 0.3
+                       + least(greatest((stop_hits / greatest(CAST(ws_tokens AS DOUBLE), 1))
+                                        * 4, 0), 1) * 0.3 AS quality
+                FROM f
+            ), lw AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(substr(text, 1, 2000)),
+                                          '[a-z]+') AS words,
+                       text
+                FROM t
+            ), lh AS (
+                SELECT doc_id, text, words,
+                    len(list_filter(words, x -> x IN ('the','and','of','a','to',
+                        'in','is','it','that','for'))) AS en,
+                    len(list_filter(words, x -> x IN ('der','die','das','und',
+                        'ist','ein','nicht','mit','sich','auf'))) AS de,
+                    len(list_filter(words, x -> x IN ('le','la','les','et','est',
+                        'un','une','dans','pour','que'))) AS fr,
+                    len(list_filter(words, x -> x IN ('el','la','los','y','es',
+                        'un','una','en','por','que'))) AS es
+                FROM lw
+            ), lp AS (
+                SELECT doc_id,
+                    CASE WHEN text IS NULL OR text = '' THEN 'und'
+                         WHEN len(words) = 0 THEN 'und'
+                         WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+                         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                         WHEN de >= fr AND de >= es THEN 'de'
+                         WHEN fr >= es THEN 'fr'
+                         ELSE 'es' END AS pred_lang
+                FROM lh
+            )
+            SELECT q.doc_id, q.ws_tokens, round(q.quality, 6) AS quality,
+                   lp.pred_lang
+            FROM q JOIN lp ON lp.doc_id = q.doc_id
+            WHERE q.quality >= 0.5 ORDER BY q.doc_id
+        """,
+        "minhash_dedup": """
+            -- MinHash+LSH near-dup (doc_id, dup_of): the seeded LSH's
+            -- verified pair set provably yields exactly the exact
+            -- 3-token-shingle-Jaccard >= 0.5 connected components on
+            -- this corpus (the clean_corpus_near determinism argument),
+            -- and the union-find root is the component min — so dup_of
+            -- is each member's min reachable id.
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(coalesce(text, ''), '^\\S+', 'ZZZ') AS text
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+            ), toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM corpus
+            ), shingles AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                           i -> t[i] || chr(31) || t[i+1] || chr(31) || t[i+2])) AS sh
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+            ), inter AS (
+                SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS m
+                FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ), edges AS (
+                SELECT ida, idb FROM inter
+                JOIN sizes sa ON sa.doc_id = ida JOIN sizes sb ON sb.doc_id = idb
+                WHERE m >= 0.5 * (sa.n + sb.n - m)
+            ), sym AS (
+                SELECT ida AS a, idb AS b FROM edges
+                UNION ALL SELECT idb, ida FROM edges
+            ), reach AS (
+                SELECT a AS id, a AS lbl FROM sym
+                UNION
+                SELECT s.b, r.lbl FROM reach r JOIN sym s ON s.a = r.id
+            )
+            SELECT id AS doc_id, min(lbl) AS dup_of
+            FROM reach GROUP BY id HAVING min(lbl) < id ORDER BY doc_id
+        """,
+        "simhash_dedup": """
+            -- SimHash rebuilt bit-for-bit in SQL: md5le token hash ==
+            -- md5_number_lower; per-bit votes over token occurrences;
+            -- sign pack to a two's-complement BIGINT; ALL pairs at
+            -- hamming <= 6 (the banded pair search is pigeonhole-
+            -- complete at n_chunks >= hamming+1, so it returns exactly
+            -- this set). Empty docs sign to 0 via the left join.
+            WITH corpus AS (
+                SELECT doc_id, coalesce(text, '') AS text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(coalesce(text, ''), '^\\S+', 'ZZZ') AS text
+                FROM documents
+                WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 20)
+            ), toks AS (
+                SELECT doc_id, unnest(list_filter(
+                    regexp_split_to_array(lower(text), '\\s+'),
+                    s -> s <> '')) AS tok
+                FROM corpus
+            ), votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (md5_number_lower(tok) >> b) & 1 = 1
+                                THEN 1 ELSE -1 END) AS v
+                FROM toks, range(64) r(b)
+                GROUP BY doc_id, b
+            ), sigs AS (
+                SELECT doc_id,
+                       sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b
+                                ELSE CAST(0 AS HUGEINT) END) AS s
+                FROM votes GROUP BY doc_id
+            ), allsig AS (
+                SELECT c.doc_id,
+                       CAST(CASE WHEN coalesce(s.s, 0)
+                                      >= CAST('9223372036854775808' AS HUGEINT)
+                                 THEN coalesce(s.s, 0)
+                                      - CAST('18446744073709551616' AS HUGEINT)
+                                 ELSE coalesce(s.s, 0) END AS BIGINT) AS sig
+                FROM corpus c LEFT JOIN sigs s USING (doc_id)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+            FROM allsig a JOIN allsig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 6
+            ORDER BY id_a, id_b
+        """,
+        "lang_id": """
+            -- LangId heuristic in SQL (corpus is pure ASCII, so the
+            -- CJK branch is vacuous and [^\\W\\d_]+ == [a-z]+ after
+            -- lower()): stopword-hit argmax over en/de/fr/es with
+            -- first-wins tie order and 'und' when nothing hits.
+            WITH w AS (
+                SELECT doc_id, lang, text,
+                       regexp_extract_all(lower(substr(coalesce(text, ''),
+                                                       1, 2000)),
+                                          '[a-z]+') AS words
+                FROM documents
+            ), h AS (
+                SELECT doc_id, lang, text, words,
+                    len(list_filter(words, x -> x IN ('the','and','of','a','to',
+                        'in','is','it','that','for'))) AS en,
+                    len(list_filter(words, x -> x IN ('der','die','das','und',
+                        'ist','ein','nicht','mit','sich','auf'))) AS de,
+                    len(list_filter(words, x -> x IN ('le','la','les','et','est',
+                        'un','une','dans','pour','que'))) AS fr,
+                    len(list_filter(words, x -> x IN ('el','la','los','y','es',
+                        'un','una','en','por','que'))) AS es
+                FROM w
+            )
+            SELECT doc_id, lang,
+                CASE WHEN text IS NULL OR text = '' THEN 'und'
+                     WHEN len(words) = 0 THEN 'und'
+                     WHEN greatest(en, de, fr, es) <= 0 THEN 'und'
+                     WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                     WHEN de >= fr AND de >= es THEN 'de'
+                     WHEN fr >= es THEN 'fr'
+                     ELSE 'es' END AS pred_lang
+            FROM h ORDER BY doc_id
+        """,
         "components": """
             -- connected components of the exact shingle-Jaccard >= 0.5
             -- pair graph (same corpus + edge CTEs as clean_corpus_near;

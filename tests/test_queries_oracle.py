@@ -87,6 +87,7 @@ def test_entry_smoke(entry_mod):
     "embedding_near_dup", "quality_scores", "warc_digests_sha256",
     "fingerprints", "clean_corpus_exact", "repetition_scores",
     "clean_corpus_near", "components",
+    "minhash_dedup", "simhash_dedup", "lang_id", "clean_corpus",
 ]))
 def test_query_vs_oracle(entry_mod, con, name):
     qs = entry_mod.queries()
@@ -101,8 +102,7 @@ def test_query_vs_oracle(entry_mod, con, name):
 
 
 @pytest.mark.parametrize("name", sorted([
-    "warc_digests", "minhash_dedup", "simhash_dedup",
-    "lang_id", "ann_ivf", "crawl_demo", "clean_corpus",
+    "warc_digests", "ann_ivf", "crawl_demo",
     "crawl_records", "image_transcode", "image_features", "phash_near_dup",
     "image_resize",
 ]))
@@ -118,11 +118,11 @@ def test_every_query_has_oracle_or_reason(entry_mod):
     qs = set(entry_mod.queries())
     sqls = set(entry_mod.oracle_sql())
     assert sqls <= qs
-    # rows-only ops are exactly the non-SQL-expressible ones
+    # rows-only ops are exactly the non-SQL-expressible ones (r5 moved
+    # minhash_dedup/simhash_dedup/lang_id/clean_corpus to SQL-checked)
     rows_only = qs - sqls
     expected_rows_only = {
-        "warc_digests", "minhash_dedup", "simhash_dedup",
-        "lang_id", "ann_ivf", "crawl_demo", "clean_corpus",
+        "warc_digests", "ann_ivf", "crawl_demo",
         "crawl_records", "image_transcode", "image_features", "phash_near_dup",
         "image_resize",
     }

@@ -959,9 +959,17 @@ def minhash_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup pairs, SQL-checked end to end: with the md5le
+    token hash (== DuckDB md5_number_lower) the oracle rebuilds every
+    signature bit-for-bit in SQL (unnest tokens -> per-bit votes ->
+    sign pack) and takes ALL pairs at hamming <= 6 — which is exactly
+    what the banded pair search returns, because n_chunks >= hamming+1
+    banding is pigeonhole-complete. Only the hash primitive differs
+    from the blake2b default; the machinery is identical."""
     from ..stages.dedup import simhash_near_dups
 
-    pairs = simhash_near_dups(_docs_with_near_dups(sf_dir), max_hamming=6)
+    pairs = simhash_near_dups(_docs_with_near_dups(sf_dir), max_hamming=6,
+                              tok_hash="md5le")
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                              "id_b": pd.Series([], dtype="int64"),

@@ -281,6 +281,18 @@ def _tok_hash_plain(tok: str) -> int:
     )
 
 
+def _tok_hash_md5le(tok: str) -> int:
+    """Lower 64 bits of md5 (the last 8 digest bytes, little-endian) —
+    bit-identical to DuckDB's ``md5_number_lower(tok)``, so a SimHash
+    built on it is exactly SQL-reproducible (the oracle-checked
+    ``simhash_dedup`` query uses it; blake2b stays the default)."""
+    return int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[8:],
+                          "little")
+
+
+_SIMHASH_TOK_HASHES = {"blake2b": _tok_hash_plain, "md5le": _tok_hash_md5le}
+
+
 def shingle_hashes(text: str, k: int = 3,
                    tok_hash=None) -> np.ndarray:
     """Unique 64-bit hashes of the k-token shingles of ``text`` — the
@@ -864,7 +876,10 @@ class SimHasher:
 
     _SHIFTS = np.arange(64, dtype=np.uint64)
 
-    def __init__(self):
+    def __init__(self, tok_hash: str = "blake2b"):
+        # the hash primitive is a named choice (not a callable) so the
+        # actor-pool constructor args stay trivially serializable
+        self._hash_fn = _SIMHASH_TOK_HASHES[tok_hash]
         self._tok_cache: dict[str, int] = {}
 
     def _tok_hash(self, tok: str) -> int:
@@ -872,7 +887,7 @@ class SimHasher:
         if h is None:
             if len(self._tok_cache) > 1_000_000:
                 self._tok_cache.clear()
-            h = _tok_hash_plain(tok)
+            h = self._hash_fn(tok)
             self._tok_cache[tok] = h
         return h
 
@@ -1031,10 +1046,14 @@ def banded_hamming_pairs(ds, *, sig_col: str, id_col: str, max_hamming: int,
 
 def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id",
                       concurrency: int | tuple = (2, 8),
-                      small_threshold: int = 2_000_000) -> pd.DataFrame:
+                      small_threshold: int = 2_000_000,
+                      tok_hash: str = "blake2b") -> pd.DataFrame:
     """SimHash near-dup pairs, fully distributed (see
-    banded_hamming_pairs for the banding + verify discipline)."""
+    banded_hamming_pairs for the banding + verify discipline).
+    ``tok_hash`` picks the token-hash primitive ('md5le' makes the
+    signatures DuckDB-reproducible for oracle checking)."""
     with_sig = ds.map_batches(SimHasher, batch_format="pyarrow",
+                              fn_constructor_kwargs={"tok_hash": tok_hash},
                               concurrency=concurrency).materialize()
     pairs = banded_hamming_pairs(
         with_sig, sig_col="simhash", id_col=id_col, max_hamming=max_hamming,
