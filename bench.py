@@ -472,6 +472,98 @@ def run_frontier_1m() -> dict:
     return out
 
 
+def run_crawl_100k() -> dict:
+    """--crawl-100k: the image-corpus crawl flagship at 100k docs on the
+    FRAGMENT-BACKED corpus path (VERDICT r4 #8) — the 100 TB corpus
+    discipline end to end: the corpus streams from parquet into on-disk
+    hash-bucketed fragments as a Dataset (the driver never holds it),
+    and fetch tasks read only the bucket files their admitted keys hash
+    to (worker-LRU-cached), never an object-store broadcast. Fragment
+    population is untimed ingest (idempotent, manifest-pinned); the
+    recorded number is the crawl itself, best-of-2."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as _rd
+
+    from warcit_ray.pipelines.crawl import (
+        WebGraph,
+        corpus_affinity_fn,
+        crawl,
+        explode_links,
+        fetch_batch,
+        seeds_table,
+        write_corpus_fragments,
+    )
+    from warcit_ray.sources.synth import read_image_table
+
+    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    n = 100_000
+    corpus_dir = _corpus(n)
+    frags = os.path.join(SCRATCH, "crawl100k_frags")
+    ds = read_image_table(corpus_dir)
+    num_parts = max(8, int(ds.size_bytes() // (64 << 20)))
+    t_ingest = time.time()
+    ref = write_corpus_fragments(ds, frags, num_parts)
+    ingest_sec = time.time() - t_ingest
+    graph = WebGraph(n, n_hosts=997, fanout=6)
+    clock = "2026-01-01T00:00:00Z"
+
+    def run_once() -> tuple[float, dict]:
+        ck = os.path.join(SCRATCH, "crawl100k_ck")
+        shutil.rmtree(ck, ignore_errors=True)
+        t = time.time()
+        res = crawl(
+            fetch_fn=fetch_batch,
+            fetch_args=(ref, graph, clock),
+            explode_fn=lambda t: explode_links(t, graph),
+            seeds=seeds_table(graph, 256),
+            robots_map=graph.robots_map(),
+            seen_capacity=max(4096, 4 * n),
+            fetch_affinity_fn=corpus_affinity_fn(graph, num_parts),
+            rate=16.0, capacity=32.0,
+            max_generations=16,
+            num_seen_shards=8, num_host_shards=8,
+            clock_iso=clock,
+            checkpoint_dir=ck,
+            batch_size=16384,
+            small_frontier_threshold=8192, small_admit_threshold=262144,
+            track_visits=False,
+        )
+        return time.time() - t, res
+
+    (dt_a, res_a), (dt_b, res_b) = run_once(), run_once()
+    dt, res = (dt_a, res_a) if dt_a <= dt_b else (dt_b, res_b)
+    out = {
+        "metric": "crawl_100k_urls_per_sec",
+        "value": round(res["admitted"] / dt, 1),
+        "unit": "urls/sec",
+        "sec": round(dt, 3),
+        "all_secs": sorted([round(dt_a, 3), round(dt_b, 3)]),
+        "admitted": res["admitted"],
+        "generations": res["generations"],
+        "n_urls": n,
+        "num_fragments": num_parts,
+        "ingest_sec": round(ingest_sec, 3),
+        "num_cpus": NUM_CPUS,
+        "gen_admits": res.get("gen_admits"),
+        "phase_times": {k: round(v, 2)
+                        for k, v in res.get("phase_times", {}).items()},
+    }
+    ray.shutdown()
+    return out
+
+
 def _timed_ceiling_work() -> float:
     t = time.time()
     _ceiling_work(0)
@@ -534,5 +626,7 @@ if __name__ == "__main__":
         print(json.dumps(run_host_ceiling()))
     elif "--frontier-1m" in sys.argv:
         print(json.dumps(run_frontier_1m()))
+    elif "--crawl-100k" in sys.argv:
+        print(json.dumps(run_crawl_100k()))
     else:
         print(json.dumps(run_bench()))

@@ -160,6 +160,7 @@ def main(args=None) -> int:
 
             from warcit_ray.pipelines.crawl import (
                 WebGraph,
+                corpus_affinity_fn,
                 explode_links,
                 fetch_batch,
                 seeds_table,
@@ -178,6 +179,7 @@ def main(args=None) -> int:
                 seeds=seeds_table(graph, ns.n_seeds),
                 robots_map=graph.robots_map(),
                 seen_capacity=max(4096, 4 * n),
+                fetch_affinity_fn=corpus_affinity_fn(graph, num_parts),
                 **common)
         else:
             import pyarrow.dataset as pads

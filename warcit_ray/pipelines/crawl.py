@@ -336,6 +336,22 @@ def corpus_bucket_of(key: str, num_buckets: int) -> int:
     return int.from_bytes(h, "little") % num_buckets
 
 
+def corpus_affinity_fn(graph: WebGraph, num_buckets: int):
+    """Admitted-table -> per-row corpus bucket ids (the same image_id
+    hash the partitioned/fragment lookups use). Passed to crawl() as
+    ``fetch_affinity_fn`` so fetch dispatch becomes the map side of a
+    co-partitioned join: one task per bucket, not every task faulting
+    every bucket."""
+
+    def affinity(t: pa.Table) -> np.ndarray:
+        urls = t.column("url").to_pylist()
+        return np.fromiter(
+            (corpus_bucket_of("img%08d" % graph.idx_of(u), num_buckets)
+             for u in urls), dtype=np.int64, count=len(urls))
+
+    return affinity
+
+
 def make_partitioned_corpus(table: pa.Table, num_buckets: int) -> dict:
     """The 100 TB corpus path: hash-partition the corpus on
     ``image_id`` into ``num_buckets`` object-store tables. A fetch task
@@ -372,7 +388,10 @@ class _BucketLookup:
         ref = self.refs[b]
 
         def build():
-            return corpus_dict(ray.get(ref))
+            # lazy rows over the plasma-resident table: ray.get of an
+            # Arrow table is zero-copy shared memory, and _ArrowRows
+            # adds only the key index on top — no payload duplication
+            return _ArrowRows(ray.get(ref))
 
         return _cache_get("part:" + ref.hex(), build).get(key, default)
 
@@ -421,7 +440,8 @@ def write_corpus_fragments(corpus, out_dir: str, num_buckets: int) -> dict:
                 "existing corpus fragment layout %r does not match the "
                 "offered corpus %r — refusing to reuse stale fragments; "
                 "point corpus_fragments_dir at a fresh directory" % (old, meta))
-        return {"kind": "frags", "dir": out_dir, "P": num_buckets}
+        return {"kind": "frags", "dir": out_dir, "P": num_buckets,
+            "reg": _frag_registry()}
     os.makedirs(out_dir, exist_ok=True)
     # no manifest: any bucket files are a CRASHED prior population
     # (possibly of a different corpus) — clear them so stale buckets
@@ -467,26 +487,107 @@ def write_corpus_fragments(corpus, out_dir: str, num_buckets: int) -> dict:
          .materialize())
     with open(meta_path, "w") as fh:
         json.dump(meta, fh)
-    return {"kind": "frags", "dir": out_dir, "P": num_buckets}
+    return {"kind": "frags", "dir": out_dir, "P": num_buckets,
+            "reg": _frag_registry()}
+
+
+class _ArrowRows:
+    """dict-like ``.get`` over an Arrow corpus table, lazily: building
+    the lookup costs only the key column (a str -> row-index dict);
+    payload bytes stay in the table's Arrow buffers until the row is
+    actually fetched. A bucket build is therefore ~the parquet decode
+    alone — the eager ``corpus_dict`` copied every payload into Python
+    bytes up front, which at 32 concurrently-cold workers turned one
+    generation's fetch into tens of GB of duplicate dict builds."""
+
+    __slots__ = ("_bytes", "_fmt", "_cap", "_idx")
+
+    def __init__(self, table: pa.Table):
+        t = table.combine_chunks()
+        self._bytes = t.column("bytes")
+        self._fmt = t.column("fmt")
+        self._cap = t.column("caption")
+        self._idx = {k: i for i, k in
+                     enumerate(t.column("image_id").to_pylist())}
+
+    def get(self, key: str, default=None):
+        i = self._idx.get(key)
+        if i is None:
+            return default
+        return (self._bytes[i].as_py(), self._fmt[i].as_py(),
+                self._cap[i].as_py())
+
+
+_FRAG_COLUMNS = ["image_id", "bytes", "fmt", "caption"]
+
+
+def _read_fragment_table(path: str) -> pa.Table:
+    if not os.path.exists(path):
+        return pa.table({"image_id": pa.array([], type=pa.string()),
+                         "bytes": pa.array([], type=pa.binary()),
+                         "fmt": pa.array([], type=pa.string()),
+                         "caption": pa.array([], type=pa.string())})
+    return pq.read_table(path, columns=_FRAG_COLUMNS)
+
+
+class _FragmentRegistry:
+    """Cluster-shared index: fragment path -> plasma ObjectRef of the
+    decoded bucket table. The FIRST demand for a bucket launches one
+    read task (parallel across buckets, num_cpus=0 so blocked fetch
+    tasks can't starve it); every later demand — from any worker, any
+    generation — gets the same ref and maps the table ZERO-COPY from
+    the node's object store. Without this, every worker process decoded
+    every bucket it touched into private memory (measured at 100k urls
+    / 17 fragments: 32 concurrently-cold workers -> minutes of
+    duplicate decodes for a fetch whose warm cost is under a second).
+    Cold buckets spill to disk under plasma pressure and fault back on
+    demand — exactly the per-node hot-bucket cache the 100 TB corpus
+    needs. Decorated at use site (``_frag_registry()``) so importing
+    this module never requires an initialized Ray."""
+
+    def __init__(self):
+        self._refs: dict = {}
+        import ray
+
+        self._read = ray.remote(num_cpus=0)(_read_fragment_table)
+
+    def get_or_build(self, path: str):
+        ref = self._refs.get(path)
+        if ref is None:
+            ref = self._read.remote(path)
+            self._refs[path] = ref
+        return ref
+
+
+def _frag_registry():
+    import ray
+
+    return ray.remote(num_cpus=0)(_FragmentRegistry).remote()
 
 
 class _FragmentLookup:
-    """dict-like .get over on-disk corpus fragments: a bucket's parquet
-    file resolves and builds its key->row dict once per worker process
-    (LRU-cached). No object-store residency, no driver involvement."""
+    """dict-like .get over on-disk corpus fragments: a bucket resolves
+    through the :class:`_FragmentRegistry` (one decode per cluster,
+    zero-copy plasma table per worker) into a lazy :class:`_ArrowRows`
+    whose per-worker footprint is just the key index. Registry-less
+    refs (no ``reg`` handle) fall back to a direct per-worker read."""
 
-    def __init__(self, frag_dir: str, num_buckets: int):
+    def __init__(self, frag_dir: str, num_buckets: int, reg=None):
         self.dir = frag_dir
         self.P = num_buckets
+        self.reg = reg
 
     def get(self, key: str, default):
         b = corpus_bucket_of(key, self.P)
         path = os.path.join(self.dir, "bucket-%05d.parquet" % b)
 
         def build():
-            if not os.path.exists(path):
-                return {}
-            return corpus_dict(pq.read_table(path))
+            if self.reg is not None:
+                import ray
+
+                ref = ray.get(self.reg.get_or_build.remote(path))
+                return _ArrowRows(ray.get(ref))
+            return _ArrowRows(_read_fragment_table(path))
 
         return _cache_get("frag:" + path, build).get(key, default)
 
@@ -496,7 +597,8 @@ def _resolve_corpus(corpus_ref):
         if corpus_ref.get("kind") == "parts":
             return _BucketLookup(corpus_ref["refs"], corpus_ref["P"])
         if corpus_ref.get("kind") == "frags":
-            return _FragmentLookup(corpus_ref["dir"], corpus_ref["P"])
+            return _FragmentLookup(corpus_ref["dir"], corpus_ref["P"],
+                                   corpus_ref.get("reg"))
         return corpus_ref
     import ray
 
@@ -801,6 +903,8 @@ def crawl(
     corpus_fragments_dir: str | None = None,
     task_frontier_threshold: int | None = None,
     seen_capacity: int | None = None,
+    fetch_affinity_fn=None,
+    max_pending_per_host: int = 100_000,
 ) -> dict:
     """Run the crawl; returns stats + (if checkpointing) the output layout.
 
@@ -848,6 +952,12 @@ def crawl(
             corpus_ref = ray.put(corpus_dict(corpus_table))
         fetch_fn = fetch_batch
         fetch_args = (corpus_ref, graph, clock_iso)
+        if (fetch_affinity_fn is None and isinstance(corpus_ref, dict)
+                and corpus_ref.get("kind") in ("parts", "frags")):
+            # bucketed corpus -> bucket-affine fetch dispatch (see the
+            # dispatch site): group each generation's admitted rows by
+            # the corpus bucket their key hashes to
+            fetch_affinity_fn = corpus_affinity_fn(graph, corpus_ref["P"])
         explode_fn = lambda t: explode_links(t, graph)  # noqa: E731
         seeds = seeds_table(graph, n_seeds)
         robots_map = graph.robots_map()
@@ -866,6 +976,7 @@ def crawl(
         seen_capacity=seen_capacity,
         rate=rate, capacity=capacity, robots_map=robots_map,
         seen_fp_bits=seen_fp_bits,
+        max_pending_per_host=max_pending_per_host,
     )
 
     start_gen = 0
@@ -1054,6 +1165,27 @@ def crawl(
         records = None  # pa.Table (small path) or Dataset (large path)
         next_frontier = None
         if n_admitted:
+            # bucket-affine dispatch (the map side of a co-partitioned
+            # join): with a partitioned/fragment corpus, sort this
+            # generation's rows by corpus bucket and cut task slices at
+            # bucket boundaries so a fetch task touches ONE bucket.
+            # Without this, every task faults every bucket into its
+            # worker's cache (measured at 100k urls / 17 fragments: 32
+            # concurrently-cold workers spent 108 s on duplicate bucket
+            # builds for a generation whose warm fetch is 0.6 s). The
+            # checkpointed `admitted` table keeps its original order —
+            # only dispatch order changes, and records are seq-keyed
+            # (physical emission sorts once on seq).
+            dispatch = admitted
+            seg_bounds = [(0, n_admitted)]
+            if fetch_affinity_fn is not None:
+                bk = np.asarray(fetch_affinity_fn(admitted))
+                order = np.argsort(bk, kind="stable")
+                dispatch = admitted.take(pa.array(order))
+                sb = bk[order]
+                cuts = (np.flatnonzero(sb[1:] != sb[:-1]) + 1).tolist()
+                edges = [0] + cuts + [n_admitted]
+                seg_bounds = list(zip(edges[:-1], edges[1:]))
             if n_admitted <= small_admit:
                 # parallel plain tasks over ~256-row slices; explode is
                 # fused into the task (fetch_and_explode) and the
@@ -1061,13 +1193,14 @@ def crawl(
                 # gets back only refs + row counts
                 slice_rows = 1024 if n_admitted > 4096 else 256
                 rec_refs, front_refs, cnt_refs = [], [], []
-                for lo in range(0, n_admitted, slice_rows):
-                    r, f, c = fetch_explode_task.remote(
-                        admitted.slice(lo, slice_rows), fetch_fn, fetch_args,
-                        explode_fn)
-                    rec_refs.append(r)
-                    front_refs.append(f)
-                    cnt_refs.append(c)
+                for seg_lo, seg_hi in seg_bounds:
+                    for lo in range(seg_lo, seg_hi, slice_rows):
+                        r, f, c = fetch_explode_task.remote(
+                            dispatch.slice(lo, min(slice_rows, seg_hi - lo)),
+                            fetch_fn, fetch_args, explode_fn)
+                        rec_refs.append(r)
+                        front_refs.append(f)
+                        cnt_refs.append(c)
                 records = pa.concat_tables(ray.get(rec_refs))
                 phase_times["fetch"] += _now() - _t0
                 _t0 = _now()
@@ -1078,8 +1211,9 @@ def crawl(
             else:
                 # block-sliced entry: one task per ~4k-row block (each
                 # looping 256-row fetch batches), not one task for the
-                # whole generation
-                records = table_as_blocks(admitted, 4096).map_batches(
+                # whole generation; with affinity set, `dispatch` is
+                # bucket-sorted so blocks are (mostly) bucket-local
+                records = table_as_blocks(dispatch, 4096).map_batches(
                     fetch_fn,
                     fn_args=fetch_args,
                     batch_size=256, batch_format="pyarrow",
@@ -1121,6 +1255,7 @@ def crawl(
     seen_count = sum(ray.get([a.count.remote() for a in seen_actors]))
     totals["seen"] = seen_count
     totals["robots_blocked"] = sum(s.get("robots_blocked", 0) for s in stats)
+    totals["evicted"] = sum(s.get("evicted", 0) for s in stats)
     totals["visit_log"] = visit_log
     totals["phase_times"] = {k: round(v, 3) for k, v in phase_times.items()}
     for a in seen_actors + host_actors:

@@ -186,6 +186,10 @@ class HostShardState:
         return {
             "rate": self.rate,
             "capacity": self.capacity,
+            # eviction policy is part of the crawl's identity: a resume
+            # must evict exactly as the original would have, or the
+            # continued run diverges from an uninterrupted one
+            "max_pending": self.max_pending,
             "hosts": {
                 h: {"tokens": st["tokens"], "heap": sorted(st["heap"])}
                 for h, st in self.hosts.items()
@@ -196,6 +200,7 @@ class HostShardState:
     def restore_state(self, state: dict) -> None:
         self.rate = state["rate"]
         self.capacity = state["capacity"]
+        self.max_pending = state.get("max_pending", self.max_pending)
         self.hosts = {
             h: {"tokens": s["tokens"], "heap": [tuple(e) for e in s["heap"]]}
             for h, s in state["hosts"].items()
