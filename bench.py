@@ -564,6 +564,88 @@ def run_crawl_100k() -> dict:
     return out
 
 
+def run_dedup_150k() -> dict:
+    """--dedup-150k: the MinHash+LSH near-dup flagship at 150k docs /
+    2.4M band rows — ABOVE the small-tier gate, so every stage runs the
+    10^10-doc code path by its own dispatch: vectorized signatures,
+    coarse-bucket candidate emit, coarse-bucket pair dedup, and the
+    join-based per-row Jaccard verify (the r4 'weak' component, now a
+    driver-reproducible number). Corpus: documents x30 with per-copy
+    deterministic token shuffles (distinct shingle sets, realistic
+    candidate rate) + 200 planted first-token perturbations whose
+    recall is asserted in the record."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import pandas as pd
+    import ray.data as _rd
+
+    from warcit_ray.stages.dedup import near_dup_pairs
+
+    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+    COPIES, PLANT = 30, 200
+    base = _rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                            columns=["doc_id", "text"],
+                            override_num_blocks=16)
+
+    def expand(df: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        outs = []
+        for j in range(COPIES):
+            cp = df.copy()
+            cp["doc_id"] = cp["doc_id"] + j * 10_000_000
+            if j:
+                # deterministic per-(doc, copy) token shuffle: same
+                # token multiset, (almost surely) disjoint shingle set
+                cp["text"] = [
+                    " ".join(np.random.default_rng(int(i) * 31 + j)
+                             .permutation((t or "").split()).tolist())
+                    for i, t in zip(df["doc_id"], df["text"])]
+            outs.append(cp)
+        plants = df[df["doc_id"] < PLANT].copy()
+        if len(plants):
+            plants["doc_id"] = plants["doc_id"] + 500_000_000
+            plants["text"] = plants["text"].map(
+                lambda t: " ".join(["ZZZ"] + t.split()[1:]) if t else t)
+            outs.append(plants)
+        return pd.concat(outs, ignore_index=True)
+
+    ds = base.map_batches(expand, batch_format="pandas").materialize()
+    n_docs = ds.count()
+
+    t = time.time()
+    verified, _ = near_dup_pairs(ds, threshold=0.5)
+    dt = time.time() - t
+    planted_found = int(
+        ((verified["id_b"] - verified["id_a"]) == 500_000_000).sum())
+    out = {
+        "metric": "dedup_150k_docs_per_sec",
+        "value": round(n_docs / dt, 1),
+        "unit": "docs/sec",
+        "sec": round(dt, 3),
+        "n_docs": n_docs,
+        "band_rows": n_docs * 16,
+        "tier": "large" if n_docs * 16 > 2_000_000 else "small",
+        "verified_pairs": int(len(verified)),
+        "planted": PLANT,
+        "planted_found": planted_found,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def _timed_ceiling_work() -> float:
     t = time.time()
     _ceiling_work(0)
@@ -628,5 +710,7 @@ if __name__ == "__main__":
         print(json.dumps(run_frontier_1m()))
     elif "--crawl-100k" in sys.argv:
         print(json.dumps(run_crawl_100k()))
+    elif "--dedup-150k" in sys.argv:
+        print(json.dumps(run_dedup_150k()))
     else:
         print(json.dumps(run_bench()))
