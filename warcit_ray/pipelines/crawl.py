@@ -247,9 +247,11 @@ def fetch_and_explode(batch: pa.Table, fetch_fn, fetch_args,
     runs inside the parallel fetch task instead of single-threaded on
     the driver (measured: driver-side explode + frontier deserialization
     was ~57%% of frontier wall time at 200k URLs). Returns
-    (records, frontier_table, frontier_rows): the frontier table stays
-    in the OBJECT STORE — the driver keeps only its ref + row count and
-    feeds the ref directly to the next generation's probe tasks."""
+    (records, frontier_table, (frontier_rows, record_bytes)): the
+    frontier table stays in the OBJECT STORE — the driver keeps only
+    its ref + the small meta tuple, feeds the ref to the next
+    generation's probe tasks, and uses record_bytes to decide whether
+    the records may transit the driver or must checkpoint distributed."""
     rec = fetch_fn(batch, *fetch_args)
     front = explode_fn(rec)
     return rec, front, (front.num_rows, rec.nbytes)
