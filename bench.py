@@ -203,7 +203,13 @@ def bench_queries(results: dict) -> None:
         results[name] = round(time.time() - t, 3)
 
 
-def run_bench() -> dict:
+
+def _bench_ray_session() -> None:
+    """Shared bench-session setup: local Ray at NUM_CPUS, progress bars
+    and Ray Data logging quieted, worker pool pre-warmed (untimed) so
+    the first timed pipeline doesn't pay worker-process startup."""
+    import logging
+
     import ray
 
     if not ray.is_initialized():
@@ -211,25 +217,25 @@ def run_bench() -> dict:
                  logging_level="ERROR")
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    import logging
-
+    DataContext.get_current().enable_progress_bars = False
     logging.getLogger("ray.data").setLevel(logging.ERROR)
+    import ray.data as _rd
 
+    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    _bench_ray_session()
     os.makedirs(SCRATCH, exist_ok=True)
     # warm the page cache so both scaling runs measure compute, not disk
     for f in os.listdir(SF_DIR):
         with open(os.path.join(SF_DIR, f), "rb") as fh:
             while fh.read(1 << 24):
                 pass
-    # warm the Ray worker pool (untimed) so the first timed pipeline
-    # doesn't pay worker-process startup
-    import ray.data as _rd
-
-    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
 
     results: dict = {}
     thr: dict = {}
@@ -405,16 +411,8 @@ def run_frontier_1m() -> dict:
     this line makes that claim reproducible by the driver."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
-    from ray.data import DataContext
+    _bench_ray_session()
 
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-
-    import ray.data as _rd
 
     from warcit_ray.pipelines.crawl import (
         WebGraph,
@@ -425,9 +423,6 @@ def run_frontier_1m() -> dict:
     )
 
     # warm the Ray worker pool (untimed), same as run_bench
-    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
 
     n = 1_000_000
     graph = WebGraph(n, n_hosts=1997, fanout=8, private_every=0)
@@ -483,15 +478,7 @@ def run_crawl_100k() -> dict:
     recorded number is the crawl itself, best-of-2."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
-    import ray.data as _rd
+    _bench_ray_session()
 
     from warcit_ray.pipelines.crawl import (
         WebGraph,
@@ -504,9 +491,6 @@ def run_crawl_100k() -> dict:
     )
     from warcit_ray.sources.synth import read_image_table
 
-    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
 
     n = 100_000
     corpus_dir = _corpus(n)
@@ -576,22 +560,11 @@ def run_dedup_150k() -> dict:
     recall is asserted in the record."""
     import ray
 
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    import logging
-
-    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    _bench_ray_session()
     import pandas as pd
     import ray.data as _rd
 
     from warcit_ray.stages.dedup import near_dup_pairs
-
-    _rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_format="pyarrow"
-    ).count()
 
     COPIES, PLANT = 30, 200
     base = _rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),

@@ -344,3 +344,18 @@ def test_clean_corpus_drop_tiers_equivalent(ray_session):
     a = clean_corpus("/root/testdata/sf0.001")
     b = clean_corpus("/root/testdata/sf0.001", drop_broadcast_threshold=0)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_banded_hamming_string_ids_large_tier(ray_session):
+    """Code-review r5: the large tier's pair bucketing must accept
+    STRING ids (phash_near_dup buckets on image_id strings) — the
+    uint64 fast path only applies to integer ids."""
+    rows = [{"doc_id": "img%04d" % i, "sig": 0} for i in range(6)]
+    rows += [{"doc_id": "imgfar", "sig": 0x5555555555555555}]
+    ds = rd.from_items(rows)
+    small = banded_hamming_pairs(ds, sig_col="sig", id_col="doc_id",
+                                 max_hamming=3)
+    large = banded_hamming_pairs(ds, sig_col="sig", id_col="doc_id",
+                                 max_hamming=3, small_threshold=0)
+    assert len(small) == 15  # C(6,2) identical-sig pairs
+    pd.testing.assert_frame_equal(small, large)

@@ -574,3 +574,30 @@ def test_logfile_shards_order_and_resume(iana_dir, tmp_path):
     parts3 = write_logfile_shards(build_warc_dataset(cfg), out_dir,
                                   rows_per_shard=8)
     assert parts3 == parts
+
+
+def test_warc_shards_initial_crash_window_heals_sidecar(tmp_path, ray_session):
+    """Code-review r5: a crash between the INITIAL part rename and its
+    meta rename leaves a part with no sidecar. The identical rerun must
+    backfill the sidecar (not just no-op), or every later delta append
+    dead-ends on the missing-meta error."""
+    import glob
+
+    from warcit_ray.sinks.warc_sink import read_warc_dir
+
+    out_dir = str(tmp_path / "heal0")
+    write_warc_shards(_mini_records(range(6)), out_dir, rows_per_shard=8)
+    metas = glob.glob(os.path.join(out_dir, "*.meta.json"))
+    assert len(metas) == 1
+    os.unlink(metas[0])  # simulate the crash window
+    # identical retry (resume mode): byte-verified no-op that HEALS
+    # the sidecar
+    write_warc_shards(_mini_records(range(6)), out_dir, mode="ab",
+                      rows_per_shard=8)
+    assert glob.glob(os.path.join(out_dir, "*.meta.json"))
+    # the delta append now works instead of raising missing-meta
+    write_warc_shards(_mini_records([6, 7]), out_dir, mode="ab",
+                      rows_per_shard=8)
+    recs = read_warc_dir(out_dir)
+    assert [r["headers"]["WARC-Target-URI"] for r in recs] == \
+        ["http://x.example/%d" % i for i in range(8)]

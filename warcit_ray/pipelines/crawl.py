@@ -560,6 +560,15 @@ class _FragmentRegistry:
             self._refs[path] = ref
         return ref
 
+    def invalidate(self, path: str, ref) -> None:
+        """Drop a cached ref that resolved to an error (transient
+        storage blip on the one read task) so the next demand launches
+        a fresh read — without this, one failed read poisons the bucket
+        for the whole crawl. Compared by identity so a racing caller
+        can't evict a newer, healthy ref."""
+        if self._refs.get(path) == ref:
+            del self._refs[path]
+
 
 def _frag_registry():
     import ray
@@ -587,8 +596,16 @@ class _FragmentLookup:
             if self.reg is not None:
                 import ray
 
-                ref = ray.get(self.reg.get_or_build.remote(path))
-                return _ArrowRows(ray.get(ref))
+                for attempt in range(2):
+                    ref = ray.get(self.reg.get_or_build.remote(path))
+                    try:
+                        return _ArrowRows(ray.get(ref))
+                    except Exception:
+                        if attempt:
+                            raise
+                        # failed read task: invalidate so the registry
+                        # launches a fresh read, then retry once
+                        ray.get(self.reg.invalidate.remote(path, ref))
             return _ArrowRows(_read_fragment_table(path))
 
         return _cache_get("frag:" + path, build).get(key, default)
@@ -1191,7 +1208,18 @@ def crawl(
                 sb = bk[order]
                 cuts = (np.flatnonzero(sb[1:] != sb[:-1]) + 1).tolist()
                 edges = [0] + cuts + [n_admitted]
-                seg_bounds = list(zip(edges[:-1], edges[1:]))
+                # coalesce adjacent sub-task-size segments: with many
+                # corpus buckets and a sparse generation, one task per
+                # non-empty bucket would degenerate to thousands of
+                # few-row tasks — a merged task touches a FEW adjacent
+                # buckets instead (still far from all of them)
+                min_rows = 1024 if n_admitted > 4096 else 256
+                seg_bounds = []
+                cur_lo = 0
+                for hi in edges[1:]:
+                    if hi - cur_lo >= min_rows or hi == n_admitted:
+                        seg_bounds.append((cur_lo, hi))
+                        cur_lo = hi
             if n_admitted <= small_admit:
                 # parallel plain tasks over ~256-row slices; explode is
                 # fused into the task (fetch_and_explode) and the
@@ -1208,7 +1236,11 @@ def crawl(
                         front_refs.append(f)
                         cnt_refs.append(c)
                 meta = ray.get(cnt_refs)  # (front_rows, rec_bytes) per slice
-                if ckpt is not None and sum(m[1] for m in meta) > (64 << 20):
+                if ckpt is None:
+                    # records are consumed only by the checkpoint:
+                    # without one, don't ship them to the driver at all
+                    records = None
+                elif sum(m[1] for m in meta) > (64 << 20):
                     # heavy-payload generation (image records): never
                     # ship the record tables to the driver — the slice
                     # refs become Dataset blocks in place and the

@@ -163,6 +163,18 @@ def write_logfile_shards(records_ds, out_dir: str,
                 "%r — a resume would write overlapping parts under "
                 "different names" % (old, meta))
     else:
+        # no sidecar but parts present = a dir written before the
+        # sidecar existed (or by something else): silently pinning the
+        # REQUESTED value would bless whatever layout the caller asked
+        # for and let a mismatched resume write overlapping parts under
+        # different names with no error — refuse instead
+        stale = [f for f in os.listdir(out_dir)
+                 if f.startswith("part-") and f.endswith(".csv")]
+        if stale:
+            raise ValueError(
+                "%s contains logfile parts but no _shards.json sidecar "
+                "(predates the layout pin) — cannot verify rows_per_shard; "
+                "delete the parts or write the sidecar manually" % out_dir)
         with open(meta_path, "w") as fh:
             json.dump(meta, fh)
 

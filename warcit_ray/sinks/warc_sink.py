@@ -225,9 +225,19 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
             with open(pmeta) as fh:
                 old = json.load(fh)
             n_old = sum(1 for s in seqs if s <= old["max_seq"])
-            with open(name, "rb") as fh:
-                existing = fh.read()
-            disk_sha = hashlib.sha256(existing).hexdigest()
+            # disk bytes load lazily: the common pure-no-op resume
+            # (prefix hash matches the sidecar, nothing to append)
+            # writes nothing, so it need not read+hash a multi-GB part
+            # — a desync would be caught by the next actual append
+            _disk: list = []
+
+            def _load_disk() -> tuple:
+                if not _disk:
+                    with open(name, "rb") as fh:
+                        data = fh.read()
+                    _disk.append((data, hashlib.sha256(data).hexdigest()))
+                return _disk[0]
+
             if n_old:
                 prefix = serialize_batch(g.slice(0, n_old), gzip_members)
                 if hashlib.sha256(prefix).hexdigest() != old["sha256"]:
@@ -235,6 +245,7 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
                     # "overlap" rows are the part's suffix (appended by
                     # the prior run, whose meta now covers them), not
                     # its prefix — a byte-verified no-op, not an error
+                    existing, disk_sha = _load_disk()
                     if not (disk_sha == old["sha256"]
                             and existing.endswith(prefix)):
                         raise ValueError(
@@ -244,6 +255,7 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
                             "mode='wb' to rewrite" % (name, old["max_seq"]))
             if n_old < g.num_rows:  # genuinely new higher-seq rows: append
                 tail = serialize_batch(g.slice(n_old), gzip_members)
+                existing, disk_sha = _load_disk()
                 if disk_sha != old["sha256"]:
                     # part/meta desync — a crash landed between the part
                     # rename and the meta rename. Recoverable IFF the
@@ -268,7 +280,7 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
                                 old["records"] + (g.num_rows - n_old),
                                 int(seqs[-1]))
         else:
-            # legacy part without sidecar: identical rerun skips, any
+            # part without sidecar: identical rerun skips, any
             # difference is an error (no way to know what's already in it)
             with open(name, "rb") as fh:
                 existing = fh.read()
@@ -277,6 +289,12 @@ def write_warc_shards(ds, out_dir: str, mode: str = "xb",
                     "%s exists without a .meta.json sidecar and its bytes "
                     "differ from this run's records — refusing to guess; "
                     "use mode='wb' to rewrite" % name)
+            # identical initial write whose meta rename was lost to a
+            # crash (part-then-meta protocol): heal the sidecar now, or
+            # every future delta append to this shard dead-ends on the
+            # missing-meta error above
+            _write_meta(shard_id, g.num_rows, int(seqs[-1]),
+                        hashlib.sha256(existing).hexdigest())
         return pa.table({"path": [name], "records": [g.num_rows]})
 
     manifest = (

@@ -38,7 +38,15 @@ _EMPTY = pa.schema([pa.field("member", pa.int64()),
 def connected_components(pairs, *, id_a: str = "id_a", id_b: str = "id_b",
                          small_threshold: int = 5_000_000,
                          num_buckets: int = 16, max_iters: int = 64):
-    """Dataset[(id_a, id_b, ...)] -> Dataset[(member, component)]."""
+    """Dataset[(id_a, id_b, ...)] -> Dataset[(member, component)].
+
+    ``max_iters`` bounds PROPAGATION ROUNDS INCLUDING the final
+    no-change round that certifies the fixpoint: a component whose
+    min-label eccentricity is e needs e+1 rounds to be certified, so
+    size max_iters STRICTLY ABOVE the largest expected eccentricity.
+    The distributed tier raises rather than return labels it cannot
+    certify (a change in the last allowed round leaves convergence
+    unknown)."""
     import ray.data as rd
 
     n_pairs = pairs.count()

@@ -652,11 +652,22 @@ def _coarse_bucket_count(n_rows: int) -> int:
     return int(max(32, min(1 << 16, n_rows // 1_000_000 + 1)))
 
 
+def _id_hash_u64(col: pd.Series) -> np.ndarray:
+    """Per-row uint64 hash of an id column for coarse pair bucketing.
+    Integer ids pass through; string ids (phash_near_dup buckets on
+    image_id strings) hash via pandas' vectorized siphash — bucketing
+    only needs within-run consistency, which hash_array guarantees."""
+    a = col.to_numpy()
+    if a.dtype.kind in "iu":
+        return a.astype(np.uint64, copy=False)
+    return pd.util.hash_array(a.astype(object), categorize=False)
+
+
 def _with_pair_bucket(out: pd.DataFrame, num_buckets: int) -> pd.DataFrame:
     """Append ``__pb = mix(id_a, id_b) % num_buckets`` — the coarse
     hash-partition key for the distributed cross-band pair dedup."""
-    a = out["id_a"].to_numpy().astype(np.uint64, copy=False)
-    b = out["id_b"].to_numpy().astype(np.uint64, copy=False)
+    a = _id_hash_u64(out["id_a"])
+    b = _id_hash_u64(out["id_b"])
     h = (a * np.uint64(0x9E3779B97F4A7C15)) ^ (b * np.uint64(0xC2B2AE3D27D4EB4F))
     out["__pb"] = ((h >> np.uint64(33)) % np.uint64(num_buckets)).astype(np.int64)
     return out
