@@ -272,20 +272,27 @@ def test_minhash_batched_matches_per_doc():
         ["alpha beta gamma delta %d epsilon" % i for i in range(30)]
         + ["", "solo", "two words", "alpha beta gamma delta 0 epsilon"]
         + ["repeat " * 200 + "tail%d" % i for i in range(3)]
+        # r5 cross-doc tokenizer edges: leading/trailing/odd whitespace,
+        # unicode space (nbsp), null text
+        + ["  lead pad", "trail pad  ", "a\t\nb c", " \t ",
+           "nb sp one two", "ümlaut café drei vier"]
     )
     mh = MinHasher(num_perm=64, shingle_k=3)
-    batch = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
-                      "text": pa.array(texts)})
+    batch = pa.table({"doc_id": pa.array(range(len(texts) + 1),
+                                         type=pa.int64()),
+                      "text": pa.array(texts + [None])})
     out = mh(batch)
     got = np.asarray(out.column("minhash").to_pylist(), dtype=np.int64)
     ref = MinHasher(num_perm=64, shingle_k=3)
-    want = np.stack([ref.signature(t).view(np.int64) for t in texts])
+    want = np.stack([ref.signature(t).view(np.int64)
+                     for t in texts + [""]])
     assert (got == want).all()
+    batch = batch.slice(0, len(texts))  # slab rerun on non-null rows
     # tiny slab forces multi-slab stitching on the same batch
     mh2 = MinHasher(num_perm=64, shingle_k=3)
     mh2._SHINGLE_SLAB = 16
     got2 = np.asarray(mh2(batch).column("minhash").to_pylist(), dtype=np.int64)
-    assert (got2 == want).all()
+    assert (got2 == want[: len(texts)]).all()
 
 
 def test_lsh_band_rows_vectorized_semantics():

@@ -359,25 +359,96 @@ class MinHasher:
     # cap the (num_perm, shingles) affine slab at ~32 MB uint64
     _SHINGLE_SLAB = 1 << 16
 
+    _ROLL = np.uint64(0x9E3779B97F4A7C15)
+
+    def _flat_shingles(self, batch: pa.Table) -> tuple:
+        """Cross-doc vectorized shingling -> (flat uint64 shingle array
+        in doc order, per-doc shingle counts). Tokenization is one
+        Arrow kernel; each DISTINCT token hashes once per batch
+        (dictionary encode); the k-token rolling polynomial runs
+        GLOBALLY over the flat token-hash array with doc-crossing
+        windows masked out. Value-identical to per-doc shingle_hashes
+        up to duplicates — duplicate shingles are kept (a per-doc
+        np.unique would cost more than the duplicates do), which cannot
+        change the affine MINIMA the signature takes."""
+        import pyarrow.compute as pc
+
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        text = pc.fill_null(pc.cast(text, pa.string()), "")
+        toks = pc.utf8_split_whitespace(text)
+        flat = pc.list_flatten(toks)
+        raw = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(flat) == 0:
+            return np.empty(0, dtype=np.uint64), np.zeros(n, dtype=np.int64)
+        # str.split parity: the Arrow kernel emits '' for leading/
+        # trailing whitespace — drop empty tokens
+        valid = pc.binary_length(flat).to_numpy(zero_copy_only=False) > 0
+        dic = flat.dictionary_encode()
+        vocab = dic.dictionary.to_pylist()
+        vh = np.fromiter((self._tok_hash(t) for t in vocab),
+                         dtype=np.uint64, count=len(vocab))
+        th = vh[dic.indices.to_numpy(zero_copy_only=False)][valid]
+        ends_raw = np.cumsum(raw)
+        cv = np.concatenate([[0], np.cumsum(valid)])
+        m = cv[ends_raw] - cv[ends_raw - raw]  # valid tokens per doc
+        k = self.k
+        sc = np.where(m >= k, m - k + 1,
+                      np.where(m > 0, 1, 0)).astype(np.int64)
+        total = int(sc.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint64), sc
+        flat_sh = np.empty(total, dtype=np.uint64)
+        ends_f = np.cumsum(m)
+        starts_f = ends_f - m
+        n_th = len(th)
+        if n_th >= k:
+            acc = th[: n_th - k + 1].copy()
+            for j in range(1, k):
+                acc = acc * self._ROLL + th[j: n_th - k + 1 + j]
+            p = np.arange(n_th - k + 1)
+            doc_of = np.searchsorted(ends_f, p, side="right")
+            ok = (p + k) <= ends_f[doc_of]
+            flat_sh[np.repeat(m >= k, sc)] = acc[ok]
+        short = np.nonzero((m > 0) & (m < k))[0]
+        if len(short):
+            out_ends = np.cumsum(sc)
+            for d in short:  # rare: docs with fewer than k tokens
+                seg = th[starts_f[d]: ends_f[d]]
+                a = seg[:1].copy()
+                for j in range(1, int(m[d])):
+                    a = a * self._ROLL + seg[j: j + 1]
+                flat_sh[out_ends[d] - 1] = a[0]
+        # per-doc shingle-SET dedup, vectorized across docs (one lexsort):
+        # the affine stage is O(num_perm x shingles), and repetitive docs
+        # — the norm in near-dup corpora — would otherwise multiply its
+        # work (measured 9x shingle inflation on a repeat-heavy batch)
+        doc = np.repeat(np.arange(n, dtype=np.int64), sc)
+        order = np.lexsort((flat_sh, doc))
+        fs = flat_sh[order]
+        dd = doc[order]
+        keep = np.empty(len(fs), dtype=bool)
+        keep[0] = True
+        keep[1:] = (dd[1:] != dd[:-1]) | (fs[1:] != fs[:-1])
+        return fs[keep], np.bincount(dd[keep], minlength=n).astype(np.int64)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Batched signatures, byte-identical to per-doc ``signature``
-        (equivalence-tested): every doc's shingle set concatenates into
-        ONE flat array, the affine transforms run as slabbed
-        (num_perm, slab) matrix ops, and the per-doc minima come from a
-        single ``np.minimum.reduceat`` over the doc-boundary segments —
-        no per-doc (num_perm, n_shingles) matrix allocation (VERDICT r3
-        #4: the per-doc loop made minhash_dedup the slowest bench
-        entry)."""
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
-        sh_list = [self.shingles(t or "") for t in texts]
-        counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64,
-                             count=n)
+        """Batched signatures, value-identical to per-doc ``signature``
+        (equivalence-tested): tokenize/hash/shingle vectorize ACROSS
+        docs (_flat_shingles — the per-doc shingle_hashes calls were
+        ~80% of signature wall time at 150k docs), the affine
+        transforms run as slabbed (num_perm, slab) matrix ops, and the
+        per-doc minima come from a single ``np.minimum.reduceat`` over
+        the doc-boundary segments."""
+        n = batch.num_rows
+        flat_all, counts = self._flat_shingles(batch)
         sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
         nz = np.nonzero(counts)[0]
         if len(nz):
-            flat = np.concatenate([sh_list[i] for i in nz]) \
-                & np.uint64(0x1FFFFFFFFFFFFFFF)
+            flat = flat_all & np.uint64(0x1FFFFFFFFFFFFFFF)
             ends = np.cumsum(counts[nz])
             starts = ends - counts[nz]
             lo = 0
